@@ -1,0 +1,142 @@
+"""Convergence diagnostics: split-R-hat and effective sample size.
+
+New capability vs the reference, which delegates ESS to arviz in its tests
+(ref tests/test_hmc.py:158-161) and ships no diagnostics of its own.  Both
+are implemented in JAX so they jit, run on device, and reduce across a
+sharded chain axis with XLA collectives.
+
+Implements the rank-normalized split-R-hat and bulk-ESS of Vehtari et al.
+(2021), plus classic (non-rank) variants.  The autocovariance uses an FFT
+(O(N log N)) and ESS uses Geyer's initial monotone positive sequence.
+"""
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _validate(samples: jax.Array) -> jax.Array:
+    """Accept (draws,), (chains, draws) or (chains, draws, dim)."""
+    samples = jnp.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[None, :]
+    return samples
+
+
+def _split_chains(samples: jax.Array) -> jax.Array:
+    """Split each chain in half: (C, N, ...) -> (2C, N//2, ...)."""
+    c, n = samples.shape[:2]
+    half = n // 2
+    first = samples[:, :half]
+    second = samples[:, half : 2 * half]
+    return jnp.concatenate([first, second], axis=0)
+
+
+def _rank_normalize(samples: jax.Array) -> jax.Array:
+    """Fractional ranks -> normal scores over the pooled draws (per dim)."""
+    c, n = samples.shape[:2]
+    flat = samples.reshape((c * n,) + samples.shape[2:])
+    ranks = jnp.argsort(jnp.argsort(flat, axis=0), axis=0)
+    quantiles = (ranks + 1.0 - 0.375) / (c * n + 0.25)  # Blom offsets
+    z = jax.scipy.stats.norm.ppf(quantiles)
+    return z.reshape(samples.shape)
+
+
+def potential_scale_reduction(
+    samples: jax.Array, rank_normalized: bool = False
+) -> jax.Array:
+    """Split-R-hat (Gelman-Rubin with split chains).
+
+    Parameters
+    ----------
+    samples
+        Array of shape (chains, draws) or (chains, draws, dim).
+
+    Returns
+    -------
+    R-hat per dimension (scalar for 2-D input).
+    """
+    samples = _validate(samples)
+    samples = _split_chains(samples)
+    if rank_normalized:
+        samples = _rank_normalize(samples)
+    num_chains, num_draws = samples.shape[:2]
+
+    chain_means = jnp.mean(samples, axis=1)
+    chain_vars = jnp.var(samples, axis=1, ddof=1)
+    between = num_draws * jnp.var(chain_means, axis=0, ddof=1)
+    within = jnp.mean(chain_vars, axis=0)
+    var_plus = ((num_draws - 1) * within + between) / num_draws
+    return jnp.sqrt(var_plus / within)
+
+
+def _autocovariance_fft(x: jax.Array) -> jax.Array:
+    """Autocovariance of each chain via FFT; x has shape (C, N, ...)."""
+    n = x.shape[1]
+    x = x - jnp.mean(x, axis=1, keepdims=True)
+    size = 2 * n  # zero-pad to avoid circular wrap
+    fft = jnp.fft.rfft(x, n=size, axis=1)
+    acov = jnp.fft.irfft(fft * jnp.conjugate(fft), n=size, axis=1)[:, :n]
+    return acov / n
+
+
+def effective_sample_size(
+    samples: jax.Array, rank_normalized: bool = False
+) -> jax.Array:
+    """Bulk effective sample size with Geyer's initial monotone sequence.
+
+    Matches the estimator used by Stan/arviz (which the reference's tests
+    call via arviz, ref tests/test_hmc.py:158-161).
+
+    Parameters
+    ----------
+    samples
+        (chains, draws) or (chains, draws, dim); also accepts (draws,).
+    """
+    samples = _validate(samples)
+    samples = _split_chains(samples)
+    if rank_normalized:
+        samples = _rank_normalize(samples)
+    num_chains, num_draws = samples.shape[:2]
+
+    acov = _autocovariance_fft(samples)  # (C, N, ...)
+    chain_var = acov[:, 0] * num_draws / (num_draws - 1.0)
+    mean_var = jnp.mean(chain_var, axis=0)
+    var_plus = mean_var * (num_draws - 1.0) / num_draws
+    if num_chains > 1:
+        chain_means = jnp.mean(samples, axis=1)
+        var_plus = var_plus + jnp.var(chain_means, axis=0, ddof=1)
+
+    mean_acov = jnp.mean(acov, axis=0)  # (N, ...)
+    rho = 1.0 - (mean_var - mean_acov) / var_plus  # (N, ...)
+
+    # Paired sums P_t = rho_{2t} + rho_{2t+1}, t = 0..N//2-1.
+    max_pairs = num_draws // 2
+    even = rho[0 : 2 * max_pairs : 2]
+    odd = rho[1 : 2 * max_pairs : 2]
+    paired = even + odd  # (max_pairs, ...)
+
+    # Initial positive sequence: stop at the first non-positive pair.
+    positive = paired > 0
+    keep_positive = jnp.cumprod(positive, axis=0).astype(bool)
+    # Initial monotone sequence: running minimum of the kept pairs.
+    monotone = jax.lax.associative_scan(jnp.minimum, paired, axis=0)
+    contributions = jnp.where(keep_positive, monotone, 0.0)
+    # rho_0 = 1 is inside the first pair; tau = -1 + 2 * sum(P_t).
+    tau = -1.0 + 2.0 * jnp.sum(contributions, axis=0)
+    tau = jnp.maximum(tau, 1.0 / jnp.log10(num_chains * num_draws + 10.0))
+    return num_chains * num_draws / tau
+
+
+def mcse(samples: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Monte-Carlo standard error of the mean, via ESS.
+
+    Returns ``(mcse_mean, ess)`` — the quantity the reference's statistical
+    quality gates are built on (ref tests/test_hmc.py:158-167).
+    """
+    samples = _validate(samples)
+    ess = effective_sample_size(samples)
+    pooled = samples.reshape((-1,) + samples.shape[2:])
+    sd = jnp.std(pooled, axis=0, ddof=1)
+    return sd / jnp.sqrt(ess), ess

@@ -1,0 +1,99 @@
+"""Symplectic integrators for Hamiltonian dynamics.
+
+TPU-native rewrite of ref integrators.py.  The reference caches the potential
+gradient in the state so each leapfrog step costs exactly one fresh logprob
+gradient (ref integrators.py:64-66); we keep that invariant with
+``jax.value_and_grad``.  The reference obtains the position drift as the
+gradient of the kinetic energy (ref integrators.py:61) which makes
+dense-metric drift automatic; we do the same via ``jax.grad`` — under XLA the
+grad of ``0.5 * p^T M^{-1} p`` fuses to the matvec ``M^{-1} p``, so this costs
+nothing over hand-writing the drift while supporting any differentiable
+kinetic energy.
+"""
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from aehmc_tpu.types import IntegratorState
+
+
+def new_integrator_state(
+    potential_fn: Callable,
+    position: jax.Array,
+    momentum: jax.Array,
+) -> IntegratorState:
+    """Create an integrator state, computing U and its gradient once.
+
+    Mirrors ref integrators.py:14-24.
+    """
+    potential_energy, potential_energy_grad = jax.value_and_grad(potential_fn)(
+        position
+    )
+    return IntegratorState(
+        position=position,
+        momentum=momentum,
+        potential_energy=potential_energy,
+        potential_energy_grad=potential_energy_grad,
+    )
+
+
+def velocity_verlet(
+    potential_fn: Callable,
+    kinetic_energy_fn: Callable,
+) -> Callable:
+    """The velocity Verlet (Störmer-Verlet) integrator.
+
+    A two-stage palindromic integrator of the form (a1, b1, a2, b1, a1) with
+    a1 = 0: half-kick, drift, half-kick.  Numerically stable for step sizes in
+    (0, 2) when the mass matrix is the identity.  Mirrors ref
+    integrators.py:27-75.
+
+    Returns
+    -------
+    ``one_step(state, step_size) -> state`` performing one leapfrog step;
+    costs one fresh potential gradient.
+    """
+    a1 = 0.0
+    b1 = 0.5
+    a2 = 1.0 - 2.0 * a1
+    del a1
+
+    potential_vag = jax.value_and_grad(potential_fn)
+    kinetic_grad = jax.grad(kinetic_energy_fn)
+
+    def one_step(state: IntegratorState, step_size: jax.Array) -> IntegratorState:
+        momentum = state.momentum - b1 * step_size * state.potential_energy_grad
+        position = state.position + a2 * step_size * kinetic_grad(momentum)
+        potential_energy, potential_energy_grad = potential_vag(position)
+        momentum = momentum - b1 * step_size * potential_energy_grad
+        return IntegratorState(
+            position=position,
+            momentum=momentum,
+            potential_energy=potential_energy,
+            potential_energy_grad=potential_energy_grad,
+        )
+
+    return one_step
+
+
+def static_integration_scan(
+    integrator: Callable, num_integration_steps: int
+) -> Callable:
+    """Integrate a fixed number of steps with ``lax.fori_loop``.
+
+    The trip count may be a traced value; only the final state is kept
+    (the reference stacks all intermediate states and takes the last —
+    ref trajectory.py:86-105 — which wastes HBM on accelerators).
+    """
+
+    def integrate(init_state: IntegratorState, step_size) -> IntegratorState:
+        def body(_, state):
+            return integrator(state, step_size)
+
+        return jax.lax.fori_loop(
+            0, jnp.asarray(num_integration_steps), body, init_state
+        )
+
+    return integrate

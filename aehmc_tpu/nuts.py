@@ -1,0 +1,127 @@
+"""No-U-Turn Sampler (iterative NUTS) kernel.
+
+Rewrite of ref nuts.py: assembles metric + velocity-Verlet + iterative U-turn
+criterion + subtree integration + multiplicative expansion into one pure
+transition kernel compiled to a single XLA computation.  The reference
+extracts the last doubling's slice of stacked diagnostics (ref
+nuts.py:138-151); here the doubling loop carries running values so there is
+nothing to slice.
+"""
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from aehmc_tpu import metrics
+from aehmc_tpu.hmc import new_state  # noqa: F401  (ref nuts.py:14)
+from aehmc_tpu.integrators import velocity_verlet
+from aehmc_tpu.proposals import ProposalState
+from aehmc_tpu.termination import iterative_uturn
+from aehmc_tpu.trajectory import dynamic_integration, multiplicative_expansion
+from aehmc_tpu.types import ChainState, Diagnostics, IntegratorState
+
+
+def new_kernel(
+    logprob_fn: Callable,
+    max_num_expansions: int = 10,
+    divergence_threshold: float = 1000.0,
+) -> Callable:
+    """Build an iterative NUTS transition kernel (ref nuts.py:17-155).
+
+    Parameters
+    ----------
+    logprob_fn
+        Log-density of the target, ``position -> scalar``.
+    max_num_expansions
+        Maximum number of trajectory doublings (max tree depth).
+    divergence_threshold
+        Energy difference above which a transition is declared divergent.
+
+    Returns
+    -------
+    ``step(rng_key, state, step_size, inverse_mass_matrix)
+    -> (ChainState, Diagnostics)``.
+    """
+
+    def potential_fn(x):
+        return -logprob_fn(x)
+
+    def step(
+        rng_key: jax.Array,
+        state: ChainState,
+        step_size: jax.Array,
+        inverse_mass_matrix: jax.Array,
+    ) -> Tuple[ChainState, Diagnostics]:
+        momentum_key, expansion_key = jax.random.split(rng_key)
+
+        (
+            momentum_generator,
+            kinetic_energy_fn,
+            uturn_check_fn,
+        ) = metrics.gaussian_metric(inverse_mass_matrix)
+        symplectic_integrator = velocity_verlet(potential_fn, kinetic_energy_fn)
+        (
+            new_termination_state,
+            update_termination_state,
+            is_criterion_met,
+        ) = iterative_uturn(uturn_check_fn)
+        trajectory_integrator = dynamic_integration(
+            symplectic_integrator,
+            kinetic_energy_fn,
+            update_termination_state,
+            is_criterion_met,
+            divergence_threshold,
+        )
+        expand = multiplicative_expansion(
+            trajectory_integrator, uturn_check_fn, max_num_expansions
+        )
+
+        initial_state = IntegratorState(
+            position=state.position,
+            momentum=momentum_generator(momentum_key),
+            potential_energy=state.potential_energy,
+            potential_energy_grad=state.potential_energy_grad,
+        )
+        initial_termination_state = new_termination_state(
+            initial_state.position, max_num_expansions
+        )
+        initial_energy = initial_state.potential_energy + kinetic_energy_fn(
+            initial_state.momentum
+        )
+        # weight=0, sum_log_p_accept=-inf (ref nuts.py:120-125).
+        initial_proposal = ProposalState(
+            state=initial_state,
+            energy=initial_energy,
+            weight=jnp.zeros_like(initial_energy),
+            sum_log_p_accept=jnp.full_like(initial_energy, -jnp.inf),
+        )
+
+        result = expand(
+            expansion_key,
+            initial_proposal,
+            initial_state,
+            initial_state,
+            initial_state.momentum,
+            initial_termination_state,
+            initial_energy,
+            step_size,
+        )
+
+        final = result.proposal.state
+        new_chain_state = ChainState(
+            position=final.position,
+            potential_energy=final.potential_energy,
+            potential_energy_grad=final.potential_energy_grad,
+        )
+        info = Diagnostics(
+            acceptance_probability=result.acceptance_probability,
+            num_doublings=result.step,
+            is_turning=result.is_turning,
+            is_diverging=result.is_diverging,
+            energy=result.proposal.energy,
+            num_integration_steps=result.num_integration_steps,
+        )
+        return new_chain_state, info
+
+    return step

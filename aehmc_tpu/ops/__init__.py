@@ -1,0 +1,14 @@
+"""Custom TPU kernels (Pallas/Mosaic) for the hot paths.
+
+The compute path of the framework is XLA; this package holds hand-fused
+kernels where XLA's automatic fusion leaves bandwidth on the table —
+currently the chain-batched leapfrog update (:mod:`aehmc_tpu.ops.leapfrog`).
+Every kernel ships with a pure-``lax`` reference implementation used as the
+correctness oracle and as the fallback on non-TPU backends.
+"""
+
+from aehmc_tpu.ops.leapfrog import (  # noqa: F401
+    batched_leapfrog_reference,
+    batched_leapfrog_tpu,
+    fused_leapfrog_available,
+)

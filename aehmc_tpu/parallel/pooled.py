@@ -1,0 +1,261 @@
+"""Cross-chain pooled adaptation and mesh-sharded sampling.
+
+New capability vs the single-chain reference (SURVEY.md §2/§5): all chains
+share one step size and one inverse mass matrix, adapted from *pooled*
+statistics — the mean acceptance probability across chains drives dual
+averaging, and every chain's positions fold into one Welford estimate via the
+Chan batched merge (:func:`aehmc_tpu.algorithms.welford_update_batch`).
+Pooling uses C times more information per adaptation step, so warmup needs
+far fewer steps than the reference's 1000 — a genuine algorithmic win from
+multi-chain hardware, not just a port.
+
+All reductions are ``jnp.mean``/matmuls over the chain axis: when that axis
+is sharded over a mesh, XLA lowers them to ``psum`` over ICI automatically.
+"""
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from aehmc_tpu import hmc, nuts
+from aehmc_tpu.algorithms import welford_update_batch
+from aehmc_tpu.mass_matrix import covariance_adaptation
+from aehmc_tpu.parallel.mesh import chain_sharding, make_mesh
+from aehmc_tpu.sampling import SampleResult
+from aehmc_tpu.step_size import dual_averaging_adaptation
+from aehmc_tpu.types import ChainState, Diagnostics
+from aehmc_tpu.window_adaptation import (
+    WindowAdaptationState,
+    build_schedule,
+)
+
+
+def pooled_window_adaptation(
+    num_steps: int,
+    is_mass_matrix_full: bool = False,
+    initial_step_size: float = 1.0,
+    target_acceptance_rate: float = 0.8,
+) -> Tuple[Callable, Callable]:
+    """(init, update) for warmup driven by pooled cross-chain statistics."""
+    mm_init, _, mm_final = covariance_adaptation(is_mass_matrix_full)
+    da_init, da_update = dual_averaging_adaptation(target_acceptance_rate)
+    wc_update_batch = welford_update_batch(is_mass_matrix_full)
+    schedule = build_schedule(num_steps)
+    schedule_stage = jnp.asarray([s[0] for s in schedule], dtype=jnp.int32)
+    schedule_middle_window = jnp.asarray([s[1] for s in schedule], dtype=bool)
+
+    def _new_da_state(step_size):
+        log_step_size = jnp.log(step_size)
+        state = da_init(jnp.log(10.0) + log_step_size)
+        return state._replace(iterates=log_step_size, iterates_avg=log_step_size)
+
+    def init(initial_states: ChainState) -> WindowAdaptationState:
+        positions = initial_states.position  # (chains, dim) or (chains,)
+        num_dims = 0 if positions.ndim == 1 else positions.shape[1]
+        dtype = positions.dtype
+        inverse_mass_matrix, wc_state = mm_init(num_dims, dtype=dtype)
+        step_size = jnp.asarray(initial_step_size, dtype=dtype)
+        return WindowAdaptationState(
+            da_state=_new_da_state(step_size),
+            wc_state=wc_state,
+            step_size=step_size,
+            inverse_mass_matrix=inverse_mass_matrix,
+        )
+
+    def update(
+        step: jax.Array,
+        state: WindowAdaptationState,
+        positions: jax.Array,
+        infos: Diagnostics,
+    ) -> WindowAdaptationState:
+        # Pooled acceptance statistic: one psum over the chain axis.
+        mean_acceptance = jnp.mean(infos.acceptance_probability)
+        new_da_state = da_update(mean_acceptance, state.da_state)
+        step_size = jnp.exp(new_da_state.iterates)
+
+        # Pooled covariance: fold the whole chain batch in at slow steps.
+        is_slow = jnp.equal(schedule_stage[step], 1)
+        batch = positions if positions.ndim > 0 else positions[None]
+        updated_wc = wc_update_batch(batch, state.wc_state)
+        new_wc_state = jax.tree_util.tree_map(
+            lambda s, k: jnp.where(is_slow, s, k), updated_wc, state.wc_state
+        )
+
+        updated = WindowAdaptationState(
+            da_state=new_da_state,
+            wc_state=new_wc_state,
+            step_size=step_size,
+            inverse_mass_matrix=state.inverse_mass_matrix,
+        )
+
+        # Middle-window end: recompute M^-1, reset Welford, re-init DA.
+        inverse_mass_matrix = mm_final(updated.wc_state)
+        num_dims = (
+            0 if inverse_mass_matrix.ndim == 0 else inverse_mass_matrix.shape[0]
+        )
+        _, fresh_wc = mm_init(num_dims, dtype=inverse_mass_matrix.dtype)
+        eps_now = jnp.exp(updated.da_state.iterates)
+        window_end = WindowAdaptationState(
+            da_state=_new_da_state(eps_now),
+            wc_state=fresh_wc,
+            step_size=eps_now,
+            inverse_mass_matrix=inverse_mass_matrix,
+        )
+        is_middle_window_end = schedule_middle_window[step]
+        updated = jax.tree_util.tree_map(
+            lambda w, u: jnp.where(is_middle_window_end, w, u),
+            window_end,
+            updated,
+        )
+
+        is_last_step = jnp.equal(step, num_steps - 1)
+        final_step_size = jnp.exp(updated.da_state.iterates_avg)
+        return updated._replace(
+            step_size=jnp.where(is_last_step, final_step_size, updated.step_size)
+        )
+
+    return init, update
+
+
+def pooled_warmup(
+    rng_key: jax.Array,
+    kernel: Callable,
+    initial_states: ChainState,
+    num_steps: int = 400,
+    *,
+    is_mass_matrix_full: bool = False,
+    initial_step_size: float = 1.0,
+    target_acceptance_rate: float = 0.8,
+) -> Tuple[ChainState, Tuple[jax.Array, jax.Array], Diagnostics]:
+    """Warm up a batch of chains with shared, pooled-adapted parameters.
+
+    ``kernel(key, state, step_size, inverse_mass_matrix)`` is single-chain;
+    ``initial_states`` is a ChainState with a leading chain axis.
+    """
+    init_adapt, update_adapt = pooled_window_adaptation(
+        num_steps,
+        is_mass_matrix_full,
+        initial_step_size,
+        target_acceptance_rate,
+    )
+    adaptation_state = init_adapt(initial_states)
+    num_chains = initial_states.position.shape[0]
+
+    def one_step(carry, step):
+        key, states, adaptation_state = carry
+        key, subkey = jax.random.split(key)
+        kernel_keys = jax.random.split(subkey, num_chains)
+        new_states, infos = jax.vmap(
+            lambda k, s: kernel(
+                k, s, adaptation_state.step_size,
+                adaptation_state.inverse_mass_matrix,
+            )
+        )(kernel_keys, states)
+        new_adaptation_state = update_adapt(
+            step, adaptation_state, new_states.position, infos
+        )
+        return (key, new_states, new_adaptation_state), infos
+
+    (_, states, adaptation_state), info_history = jax.lax.scan(
+        one_step,
+        (rng_key, initial_states, adaptation_state),
+        jnp.arange(num_steps, dtype=jnp.int32),
+    )
+    return (
+        states,
+        (adaptation_state.step_size, adaptation_state.inverse_mass_matrix),
+        info_history,
+    )
+
+
+def sample_sharded(
+    rng_key: jax.Array,
+    logprob_fn: Callable,
+    initial_positions: jax.Array,
+    num_samples: int = 1000,
+    num_warmup: int = 400,
+    *,
+    algorithm: str = "nuts",
+    num_integration_steps: int = 32,
+    max_num_expansions: int = 10,
+    divergence_threshold: float = 1000.0,
+    is_mass_matrix_full: bool = False,
+    initial_step_size: float = 1.0,
+    target_acceptance_rate: float = 0.8,
+    mesh=None,
+    collect_positions: bool = True,
+) -> SampleResult:
+    """Pooled warmup + sampling for a chain batch sharded over a mesh.
+
+    ``initial_positions``: (chains, dim) — the chain axis is sharded over the
+    mesh's ``chains`` axis; per-chain transitions need no communication, and
+    the pooled-adaptation reductions become ICI collectives.
+    """
+    if algorithm == "nuts":
+        kernel = nuts.new_kernel(
+            logprob_fn,
+            max_num_expansions=max_num_expansions,
+            divergence_threshold=divergence_threshold,
+        )
+    elif algorithm == "hmc":
+        base = hmc.new_kernel(logprob_fn, divergence_threshold)
+        kernel = lambda key, state, eps, imm: base(  # noqa: E731
+            key, state, eps, imm, num_integration_steps
+        )
+    else:
+        raise ValueError(f"Unknown algorithm: {algorithm!r}")
+
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = make_mesh()
+    if mesh is not None:
+        sharding = chain_sharding(mesh)
+        initial_positions = jax.device_put(initial_positions, sharding)
+
+    num_chains = initial_positions.shape[0]
+
+    def program(key, positions):
+        states = jax.vmap(lambda q: hmc.new_state(q, logprob_fn))(positions)
+        warmup_key, sample_key = jax.random.split(key)
+        if num_warmup > 0:
+            states, (eps, imm), _ = pooled_warmup(
+                warmup_key,
+                kernel,
+                states,
+                num_warmup,
+                is_mass_matrix_full=is_mass_matrix_full,
+                initial_step_size=initial_step_size,
+                target_acceptance_rate=target_acceptance_rate,
+            )
+        else:
+            dtype = positions.dtype
+            eps = jnp.asarray(initial_step_size, dtype)
+            dim = 0 if positions.ndim == 1 else positions.shape[1]
+            if is_mass_matrix_full and dim > 0:
+                imm = jnp.identity(dim, dtype)
+            elif dim > 0:
+                imm = jnp.ones((dim,), dtype)
+            else:
+                imm = jnp.ones((), dtype)
+
+        def one_step(states, key):
+            keys = jax.random.split(key, num_chains)
+            new_states, infos = jax.vmap(
+                lambda k, s: kernel(k, s, eps, imm)
+            )(keys, states)
+            out = new_states.position if collect_positions else None
+            return new_states, (out, infos)
+
+        keys = jax.random.split(sample_key, num_samples)
+        final_states, (positions_out, infos) = jax.lax.scan(
+            one_step, states, keys
+        )
+        return SampleResult(
+            final_state=final_states,
+            positions=positions_out,
+            diagnostics=infos,
+            step_size=eps,
+            inverse_mass_matrix=imm,
+        )
+
+    return jax.jit(program)(rng_key, initial_positions)

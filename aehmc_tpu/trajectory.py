@@ -1,0 +1,339 @@
+"""Trajectory construction: static integration, NUTS subtree integration, and
+multiplicative (doubling) expansion.
+
+Rewrite of ref trajectory.py (735 LoC of Aesara scans) as three bounded
+``lax.while_loop``/``fori_loop`` programs.  The reference's
+stack-all-then-take-last scans (ref trajectory.py:86-95, 610-666,
+nuts.py:138-151) become running carries — no per-step HBM traffic, and the
+whole NUTS transition compiles to a single XLA computation that also batches
+cleanly under ``vmap`` (finished chains are masked by the while-loop batching
+rule).
+
+Semantics preserved from the reference:
+
+- per-leaf body: integrator step -> proposal + divergence check ->
+  progressive-*uniform* resample -> momentum-sum accumulate -> termination
+  update + check (ref trajectory.py:195-273),
+- the first leaf of a subtree is taken before the loop and the subtree is
+  abandoned immediately if that leaf diverges (ref trajectory.py:276-336),
+- per-doubling body: random direction, integrate a subtree of ``2**step``
+  leaves from the chosen edge, swap edges by direction, merge
+  ``sum_log_p_accept`` even when the subtree is rejected, progressive-
+  *biased* resample only for cleanly-completed subtrees, full-trajectory
+  U-turn check on the new edges (ref trajectory.py:463-608).
+
+One deliberate correction: the reference integrates up to ``max_num_steps``
+leaves *after* the initial one (its until-scan at ref trajectory.py:308-332
+always runs >= 1 iteration), i.e. up to ``2**step + 1`` leaves per subtree.
+Canonical iterative NUTS (NumPyro/TFP/BlackJAX, which the reference cites)
+builds balanced subtrees of exactly ``2**step`` leaves; we implement the
+canonical bound, which is what the checkpoint U-turn scheme assumes.
+"""
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from aehmc_tpu.proposals import (
+    ProposalState,
+    progressive_biased_sampling,
+    progressive_uniform_sampling,
+    proposal_generator,
+)
+from aehmc_tpu.types import IntegratorState, TerminationState
+
+__all__ = [
+    "static_integration",
+    "dynamic_integration",
+    "multiplicative_expansion",
+]
+
+
+def static_integration(integrator: Callable, num_integration_steps) -> Callable:
+    """Build a fixed-length trajectory integrator (ref trajectory.py:31-107).
+
+    Only the endpoint is materialized; ``num_integration_steps`` may be traced.
+    """
+
+    def integrate(init_state: IntegratorState, step_size) -> IntegratorState:
+        def one_step(_, state):
+            return integrator(state, step_size)
+
+        return jax.lax.fori_loop(
+            0, num_integration_steps, one_step, init_state
+        )
+
+    return integrate
+
+
+def dynamic_integration(
+    integrator: Callable,
+    kinetic_energy: Callable,
+    update_termination_state: Callable,
+    is_criterion_met: Callable,
+    divergence_threshold: float,
+) -> Callable:
+    """Integrate one NUTS subtree in one direction until it is complete,
+    diverges, or makes a U-turn (ref trajectory.py:119-376).
+
+    Returns
+    -------
+    ``integrate(rng_key, previous_last_state, direction, termination_state,
+    max_num_steps, step_size, initial_energy)`` returning
+    ``(proposal, last_state, momentum_sum, termination_state,
+    trajectory_length, is_diverging, has_terminated)``.
+    """
+    generate_proposal = proposal_generator(kinetic_energy, divergence_threshold)
+    sample_proposal = progressive_uniform_sampling
+
+    def integrate(
+        rng_key: jax.Array,
+        previous_last_state: IntegratorState,
+        direction: jax.Array,
+        termination_state: TerminationState,
+        max_num_steps: jax.Array,
+        step_size: jax.Array,
+        initial_energy: jax.Array,
+    ):
+        # First leaf of the subtree, taken outside the loop: it seeds the
+        # subtree's proposal and is never checked for a U-turn
+        # (ref trajectory.py:276-284).
+        state = integrator(previous_last_state, direction * step_size)
+        proposal, is_diverging = generate_proposal(initial_energy, state)
+        momentum_sum = state.momentum
+        termination_state = update_termination_state(
+            termination_state, momentum_sum, state.momentum, 0
+        )
+
+        init_carry = (
+            rng_key,
+            jnp.asarray(1, dtype=jnp.int32),
+            proposal,
+            state,
+            momentum_sum,
+            termination_state,
+            is_diverging,
+            jnp.asarray(False),
+        )
+
+        def cond_fn(carry):
+            _, step, _, _, _, _, diverging, terminated = carry
+            return (step < max_num_steps) & ~diverging & ~terminated
+
+        def body_fn(carry):
+            key, step, proposal, last_state, momentum_sum, term_state, _, _ = carry
+            key, sample_key = jax.random.split(key)
+
+            new_state = integrator(last_state, direction * step_size)
+            new_proposal, is_diverging = generate_proposal(
+                initial_energy, new_state
+            )
+            sampled_proposal = sample_proposal(sample_key, proposal, new_proposal)
+
+            new_momentum_sum = momentum_sum + new_state.momentum
+            new_term_state = update_termination_state(
+                term_state, new_momentum_sum, new_state.momentum, step
+            )
+            has_terminated = is_criterion_met(
+                new_term_state, new_momentum_sum, new_state.momentum
+            )
+            return (
+                key,
+                step + 1,
+                sampled_proposal,
+                new_state,
+                new_momentum_sum,
+                new_term_state,
+                is_diverging,
+                has_terminated,
+            )
+
+        (
+            _,
+            trajectory_length,
+            proposal,
+            last_state,
+            momentum_sum,
+            termination_state,
+            is_diverging,
+            has_terminated,
+        ) = jax.lax.while_loop(cond_fn, body_fn, init_carry)
+
+        return (
+            proposal,
+            last_state,
+            momentum_sum,
+            termination_state,
+            trajectory_length,
+            is_diverging,
+            has_terminated,
+        )
+
+    return integrate
+
+
+class ExpansionState(NamedTuple):
+    """Carry of the doubling loop; replaces the reference's 24 scan slots."""
+
+    rng_key: jax.Array
+    step: jax.Array
+    proposal: ProposalState
+    left_state: IntegratorState
+    right_state: IntegratorState
+    momentum_sum: jax.Array
+    termination_state: TerminationState
+    acceptance_probability: jax.Array
+    num_integration_steps: jax.Array
+    is_diverging: jax.Array
+    is_turning: jax.Array
+    has_subtree_terminated: jax.Array
+
+
+def multiplicative_expansion(
+    trajectory_integrator: Callable,
+    uturn_check_fn: Callable,
+    max_num_expansions: int,
+) -> Callable:
+    """NUTS doubling loop (ref trajectory.py:396-714).
+
+    At each doubling: draw a direction ~ Bernoulli(1/2), integrate a subtree
+    of ``2**step`` leaves from that edge, merge, and stop on divergence,
+    U-turn, or internal subtree termination.
+    """
+    proposal_sampler = progressive_biased_sampling
+
+    def expand(
+        rng_key: jax.Array,
+        proposal: ProposalState,
+        left_state: IntegratorState,
+        right_state: IntegratorState,
+        momentum_sum: jax.Array,
+        termination_state: TerminationState,
+        initial_energy: jax.Array,
+        step_size: jax.Array,
+    ) -> ExpansionState:
+        dtype = proposal.energy.dtype
+        init = ExpansionState(
+            rng_key=rng_key,
+            step=jnp.asarray(0, dtype=jnp.int32),
+            proposal=proposal,
+            left_state=left_state,
+            right_state=right_state,
+            momentum_sum=momentum_sum,
+            termination_state=termination_state,
+            acceptance_probability=jnp.zeros((), dtype=dtype),
+            num_integration_steps=jnp.asarray(0, dtype=jnp.int32),
+            is_diverging=jnp.asarray(False),
+            is_turning=jnp.asarray(False),
+            has_subtree_terminated=jnp.asarray(False),
+        )
+
+        def cond_fn(s: ExpansionState):
+            return (
+                (s.step < max_num_expansions)
+                & ~s.is_diverging
+                & ~s.is_turning
+                & ~s.has_subtree_terminated
+            )
+
+        def body_fn(s: ExpansionState) -> ExpansionState:
+            key, direction_key, subtree_key, sample_key = jax.random.split(
+                s.rng_key, 4
+            )
+
+            do_go_right = jax.random.bernoulli(direction_key, 0.5)
+            direction = jnp.where(do_go_right, 1.0, -1.0).astype(dtype)
+            start_state = jax.tree_util.tree_map(
+                lambda r, l: jnp.where(do_go_right, r, l),
+                s.right_state,
+                s.left_state,
+            )
+
+            (
+                new_proposal,
+                new_state,
+                subtree_momentum_sum,
+                new_termination_state,
+                subtrajectory_length,
+                is_diverging,
+                has_subtree_terminated,
+            ) = trajectory_integrator(
+                subtree_key,
+                start_state,
+                direction,
+                s.termination_state,
+                jnp.left_shift(jnp.asarray(1, jnp.int32), s.step),
+                step_size,
+                initial_energy,
+            )
+
+            # The subtree integrator always integrates forward in (its own)
+            # time; swap the trajectory edges according to the direction
+            # (ref trajectory.py:538-545).
+            new_left_state = jax.tree_util.tree_map(
+                lambda l, n: jnp.where(do_go_right, l, n), s.left_state, new_state
+            )
+            new_right_state = jax.tree_util.tree_map(
+                lambda n, r: jnp.where(do_go_right, n, r), new_state, s.right_state
+            )
+            new_momentum_sum = s.momentum_sum + subtree_momentum_sum
+
+            # Pseudo-acceptance probability over the states of the final
+            # subtree (ref trajectory.py:548-553).
+            acceptance_probability = (
+                jnp.exp(new_proposal.sum_log_p_accept)
+                / subtrajectory_length.astype(dtype)
+            )
+
+            # Rejected subtrees still contribute to the acceptance statistic
+            # (ref trajectory.py:560-570).
+            updated_proposal = s.proposal._replace(
+                sum_log_p_accept=jnp.logaddexp(
+                    new_proposal.sum_log_p_accept, s.proposal.sum_log_p_accept
+                )
+            )
+            sampled_proposal = where_proposal(
+                is_diverging | has_subtree_terminated,
+                updated_proposal,
+                proposal_sampler(sample_key, s.proposal, new_proposal),
+            )
+
+            is_turning = uturn_check_fn(
+                new_left_state.momentum,
+                new_right_state.momentum,
+                new_momentum_sum,
+            )
+
+            return ExpansionState(
+                rng_key=key,
+                step=s.step + 1,
+                proposal=sampled_proposal,
+                left_state=new_left_state,
+                right_state=new_right_state,
+                momentum_sum=new_momentum_sum,
+                termination_state=new_termination_state,
+                acceptance_probability=acceptance_probability,
+                num_integration_steps=s.num_integration_steps
+                + subtrajectory_length,
+                is_diverging=is_diverging,
+                is_turning=is_turning,
+                has_subtree_terminated=has_subtree_terminated,
+            )
+
+        return jax.lax.while_loop(cond_fn, body_fn, init)
+
+    return expand
+
+
+def where_proposal(
+    do_pick_left: jax.Array,
+    left_proposal: ProposalState,
+    right_proposal: ProposalState,
+) -> ProposalState:
+    """Switch between two proposals on a condition (ref trajectory.py:717-735)."""
+    return jax.tree_util.tree_map(
+        lambda l, r: jnp.where(do_pick_left, l, r),
+        left_proposal,
+        right_proposal,
+    )

@@ -1,0 +1,238 @@
+"""Stan-style window adaptation (warmup).
+
+Rewrite of ref window_adaptation.py.  The schedule is computed in Python at
+trace time and baked into the compiled program as two constant arrays
+(exactly the trick the reference uses at ref window_adaptation.py:127-130);
+the warmup loop is one ``lax.scan`` so an entire 1000-step warmup is a single
+XLA computation.  Both the fast- and slow-update branches are computed every
+step and selected — the XLA-friendly pattern the reference already follows
+(ref window_adaptation.py:217-225).
+
+One deliberate change vs the reference: the dual-averaging shrinkage point is
+``mu = log(10 * step_size)`` and the log-step-size iterate starts at
+``log(step_size)`` (Stan's scheme), where the reference passes the *raw*
+step size as ``mu`` and starts the iterate at 0 (ref
+window_adaptation.py:140-142, 180-181) — correct only near ``step_size = 1``.
+"""
+
+from typing import Callable, List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from aehmc_tpu.mass_matrix import covariance_adaptation
+from aehmc_tpu.step_size import dual_averaging_adaptation
+from aehmc_tpu.types import (
+    ChainState,
+    Diagnostics,
+    DualAveragingState,
+    WelfordState,
+)
+
+
+class WindowAdaptationState(NamedTuple):
+    da_state: DualAveragingState
+    wc_state: WelfordState
+    step_size: jax.Array
+    inverse_mass_matrix: jax.Array
+
+
+def build_schedule(
+    num_steps: int,
+    initial_buffer_size: int = 75,
+    final_buffer_size: int = 50,
+    first_window_size: int = 25,
+) -> List[Tuple[int, bool]]:
+    """Return Stan's warmup schedule as ``(stage, is_middle_window_end)`` pairs.
+
+    Stage 0 = fast (step size only), stage 1 = slow (step size + covariance).
+    Middle windows double in size; the last absorbs the remainder.  Mirrors
+    ref window_adaptation.py:230-327 including the golden cases at
+    ref tests/test_adaptation.py:6-28.
+    """
+    schedule = []
+    if num_steps < 20:
+        # Too few steps for mass-matrix adaptation.
+        schedule += [(0, False)] * num_steps
+        return schedule
+
+    if initial_buffer_size + first_window_size + final_buffer_size > num_steps:
+        initial_buffer_size = int(0.15 * num_steps)
+        final_buffer_size = int(0.1 * num_steps)
+        first_window_size = num_steps - initial_buffer_size - final_buffer_size
+
+    schedule += [(0, False)] * initial_buffer_size
+
+    final_buffer_start = num_steps - final_buffer_size
+    next_window_size = first_window_size
+    next_window_start = initial_buffer_size
+    while next_window_start < final_buffer_start:
+        current_start, current_size = next_window_start, next_window_size
+        if 3 * current_size <= final_buffer_start - current_start:
+            next_window_size = 2 * current_size
+        else:
+            current_size = final_buffer_start - current_start
+        next_window_start = current_start + current_size
+        schedule += [(1, False)] * (next_window_start - 1 - current_start)
+        schedule.append((1, True))
+
+    schedule += [(0, False)] * (num_steps - final_buffer_start)
+    return schedule
+
+
+def window_adaptation(
+    num_steps: int,
+    is_mass_matrix_full: bool = False,
+    initial_step_size: float = 1.0,
+    target_acceptance_rate: float = 0.8,
+) -> Tuple[Callable, Callable]:
+    """Build ``(init, update)`` for the window-adaptation state machine.
+
+    Mirrors ref window_adaptation.py:119-227.
+    """
+    mm_init, mm_update, mm_final = covariance_adaptation(is_mass_matrix_full)
+    da_init, da_update = dual_averaging_adaptation(target_acceptance_rate)
+    schedule = build_schedule(num_steps)
+    schedule_stage = jnp.asarray([s[0] for s in schedule], dtype=jnp.int32)
+    schedule_middle_window = jnp.asarray(
+        [s[1] for s in schedule], dtype=bool
+    )
+
+    def _new_da_state(step_size: jax.Array) -> DualAveragingState:
+        log_step_size = jnp.log(step_size)
+        state = da_init(jnp.log(10.0) + log_step_size)
+        return state._replace(iterates=log_step_size, iterates_avg=log_step_size)
+
+    def init(initial_chain_state: ChainState) -> WindowAdaptationState:
+        position = initial_chain_state.position
+        num_dims = 0 if position.ndim == 0 else position.shape[0]
+        dtype = position.dtype
+        inverse_mass_matrix, wc_state = mm_init(num_dims, dtype=dtype)
+        step_size = jnp.asarray(initial_step_size, dtype=dtype)
+        return WindowAdaptationState(
+            da_state=_new_da_state(step_size),
+            wc_state=wc_state,
+            step_size=step_size,
+            inverse_mass_matrix=inverse_mass_matrix,
+        )
+
+    def _slow_final(
+        da_state: DualAveragingState, wc_state: WelfordState
+    ) -> WindowAdaptationState:
+        """End of a middle window: recompute M^{-1}, reset Welford, re-init
+        dual averaging at the current step size (ref
+        window_adaptation.py:165-182)."""
+        inverse_mass_matrix = mm_final(wc_state)
+        num_dims = (
+            0
+            if inverse_mass_matrix.ndim == 0
+            else inverse_mass_matrix.shape[0]
+        )
+        _, new_wc_state = mm_init(num_dims, dtype=inverse_mass_matrix.dtype)
+        step_size = jnp.exp(da_state.iterates)
+        return WindowAdaptationState(
+            da_state=_new_da_state(step_size),
+            wc_state=new_wc_state,
+            step_size=step_size,
+            inverse_mass_matrix=inverse_mass_matrix,
+        )
+
+    def update(
+        step: jax.Array,
+        state: WindowAdaptationState,
+        position: jax.Array,
+        info: Diagnostics,
+    ) -> WindowAdaptationState:
+        """One adaptation step, dispatching on the precomputed schedule."""
+        # Dual averaging runs every step; Welford only in slow windows.
+        new_da_state = da_update(info.acceptance_probability, state.da_state)
+        step_size = jnp.exp(new_da_state.iterates)
+
+        is_slow = jnp.equal(schedule_stage[step], 1)
+        updated_wc = mm_update(position, state.wc_state)
+        new_wc_state = jax.tree_util.tree_map(
+            lambda s, k: jnp.where(is_slow, s, k), updated_wc, state.wc_state
+        )
+
+        updated = WindowAdaptationState(
+            da_state=new_da_state,
+            wc_state=new_wc_state,
+            step_size=step_size,
+            inverse_mass_matrix=state.inverse_mass_matrix,
+        )
+
+        # End of a middle window?
+        window_end = _slow_final(updated.da_state, updated.wc_state)
+        is_middle_window_end = schedule_middle_window[step]
+        updated = jax.tree_util.tree_map(
+            lambda w, u: jnp.where(is_middle_window_end, w, u),
+            window_end,
+            updated,
+        )
+
+        # On the very last step, switch to the averaged iterate
+        # (ref window_adaptation.py:184-190).
+        is_last_step = jnp.equal(step, num_steps - 1)
+        final_step_size = jnp.exp(updated.da_state.iterates_avg)
+        return updated._replace(
+            step_size=jnp.where(is_last_step, final_step_size, updated.step_size)
+        )
+
+    return init, update
+
+
+def run(
+    rng_key: jax.Array,
+    kernel: Callable,
+    initial_state: ChainState,
+    num_steps: int = 1000,
+    *,
+    is_mass_matrix_full: bool = False,
+    initial_step_size: float = 1.0,
+    target_acceptance_rate: float = 0.8,
+) -> Tuple[ChainState, Tuple[jax.Array, jax.Array], Diagnostics]:
+    """Run the full warmup as one jitted scan (ref window_adaptation.py:17-116).
+
+    Parameters
+    ----------
+    kernel
+        NUTS-style transition,
+        ``kernel(key, state, step_size, inverse_mass_matrix)``.
+        For HMC close over ``num_integration_steps``.
+
+    Returns
+    -------
+    ``(last_state, (step_size, inverse_mass_matrix), info_history)``.
+    """
+    init_adapt, update_adapt = window_adaptation(
+        num_steps,
+        is_mass_matrix_full,
+        initial_step_size,
+        target_acceptance_rate,
+    )
+    adaptation_state = init_adapt(initial_state)
+
+    def one_step(carry, step):
+        key, chain_state, adaptation_state = carry
+        key, kernel_key = jax.random.split(key)
+        new_chain_state, info = kernel(
+            kernel_key,
+            chain_state,
+            adaptation_state.step_size,
+            adaptation_state.inverse_mass_matrix,
+        )
+        new_adaptation_state = update_adapt(
+            step, adaptation_state, new_chain_state.position, info
+        )
+        return (key, new_chain_state, new_adaptation_state), info
+
+    (_, last_state, adaptation_state), info_history = jax.lax.scan(
+        one_step,
+        (rng_key, initial_state, adaptation_state),
+        jnp.arange(num_steps, dtype=jnp.int32),
+    )
+    return (
+        last_state,
+        (adaptation_state.step_size, adaptation_state.inverse_mass_matrix),
+        info_history,
+    )

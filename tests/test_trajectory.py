@@ -1,0 +1,248 @@
+"""Behavioral regime tests of trajectory control.
+
+Mirrors ref tests/test_trajectory.py: static integration endpoint, dynamic
+integration divergence/termination regimes, and multiplicative-expansion
+regime triples (diverge/turn/doubling counts).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aehmc_tpu.integrators import new_integrator_state, velocity_verlet
+from aehmc_tpu.metrics import gaussian_metric
+from aehmc_tpu.proposals import ProposalState
+from aehmc_tpu.termination import iterative_uturn
+from aehmc_tpu.trajectory import (
+    dynamic_integration,
+    multiplicative_expansion,
+    static_integration,
+)
+
+
+def test_static_integration_circular_motion():
+    inverse_mass_matrix = jnp.ones(2)
+
+    def potential(q):
+        return -1.0 / jnp.sqrt(jnp.square(q[0]) + jnp.square(q[1]))
+
+    def kinetic_energy(p):
+        return 0.5 * jnp.dot(inverse_mass_matrix, jnp.square(p))
+
+    step = velocity_verlet(potential, kinetic_energy)
+    integrator = jax.jit(static_integration(step, 628))
+
+    init_state = new_integrator_state(
+        potential, jnp.asarray([1.0, 0.0]), jnp.asarray([0.0, 1.0])
+    )
+    final_state = integrator(init_state, 0.01)
+    np.testing.assert_allclose(final_state.position, [1.0, 0.0], atol=1e-1)
+    np.testing.assert_allclose(final_state.momentum, [0.0, 1.0], atol=1e-1)
+
+
+def _setup_dynamic(step_size, max_num_steps=10, max_num_doublings=10):
+    def potential_fn(x):
+        return 0.5 * jnp.sum(jnp.square(x - 0.0))
+
+    inverse_mass_matrix = jnp.ones(1)
+    momentum_generator, kinetic_energy_fn, uturn_check_fn = gaussian_metric(
+        inverse_mass_matrix
+    )
+    integrator = velocity_verlet(potential_fn, kinetic_energy_fn)
+    new_criterion_state, update_criterion_state, is_criterion_met = (
+        iterative_uturn(uturn_check_fn)
+    )
+    trajectory_integrator = dynamic_integration(
+        integrator,
+        kinetic_energy_fn,
+        update_criterion_state,
+        is_criterion_met,
+        divergence_threshold=1000.0,
+    )
+
+    key = jax.random.PRNGKey(59)
+    momentum_key, loop_key = jax.random.split(key)
+    position = jnp.ones(1)
+    initial_state = new_integrator_state(
+        potential_fn, position, momentum_generator(momentum_key)
+    )
+    initial_energy = initial_state.potential_energy + kinetic_energy_fn(
+        initial_state.momentum
+    )
+    termination_state = new_criterion_state(position, max_num_doublings)
+    return (
+        trajectory_integrator,
+        loop_key,
+        initial_state,
+        termination_state,
+        initial_energy,
+    )
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        (0.0000001, False, False),
+        (1000.0, True, False),
+        (1e100, True, False),
+    ],
+)
+def test_dynamic_integration(case):
+    step_size, should_diverge, should_turn = case
+    (
+        trajectory_integrator,
+        key,
+        initial_state,
+        termination_state,
+        initial_energy,
+    ) = _setup_dynamic(step_size)
+
+    (
+        proposal,
+        last_state,
+        momentum_sum,
+        term_state,
+        length,
+        is_diverging,
+        has_terminated,
+    ) = jax.jit(trajectory_integrator, static_argnums=())(
+        key,
+        initial_state,
+        jnp.asarray(1.0),
+        termination_state,
+        jnp.asarray(10),
+        jnp.asarray(step_size),
+        initial_energy,
+    )
+
+    assert bool(is_diverging) is should_diverge
+    assert bool(has_terminated) is should_turn
+
+
+def test_dynamic_integration_max_steps():
+    """With a tiny step size the subtree must use all max_num_steps leaves."""
+    (
+        trajectory_integrator,
+        key,
+        initial_state,
+        termination_state,
+        initial_energy,
+    ) = _setup_dynamic(1e-7)
+    out = trajectory_integrator(
+        key,
+        initial_state,
+        jnp.asarray(1.0),
+        termination_state,
+        jnp.asarray(8),
+        jnp.asarray(1e-7),
+        initial_energy,
+    )
+    trajectory_length = out[4]
+    assert int(trajectory_length) == 8
+
+
+def _setup_expansion(step_size, seed=59, max_num_expansions=10):
+    def potential_fn(x):
+        return 0.5 * jnp.sum(jnp.square(x))
+
+    inverse_mass_matrix = jnp.asarray(1.0)
+    position = jnp.asarray(1.0)
+
+    momentum_generator, kinetic_energy_fn, uturn_check_fn = gaussian_metric(
+        inverse_mass_matrix
+    )
+    integrator = velocity_verlet(potential_fn, kinetic_energy_fn)
+    new_criterion_state, update_criterion_state, is_criterion_met = (
+        iterative_uturn(uturn_check_fn)
+    )
+    trajectory_integrator = dynamic_integration(
+        integrator,
+        kinetic_energy_fn,
+        update_criterion_state,
+        is_criterion_met,
+        divergence_threshold=1000.0,
+    )
+    expand = multiplicative_expansion(
+        trajectory_integrator, uturn_check_fn, max_num_expansions
+    )
+
+    key = jax.random.PRNGKey(seed)
+    momentum_key, expansion_key = jax.random.split(key)
+    state = new_integrator_state(
+        potential_fn, position, momentum_generator(momentum_key)
+    )
+    energy = state.potential_energy + kinetic_energy_fn(state.momentum)
+    proposal = ProposalState(
+        state=state,
+        energy=energy,
+        weight=jnp.asarray(0.0),
+        sum_log_p_accept=jnp.asarray(-jnp.inf),
+    )
+    termination_state = new_criterion_state(state.position, max_num_expansions)
+    return expand, expansion_key, proposal, state, termination_state, energy
+
+
+@pytest.mark.parametrize(
+    "step_size, should_diverge, should_turn",
+    [
+        (100000.0, True, False),
+        (0.0000001, False, False),
+        (1.0, False, True),
+    ],
+)
+def test_multiplicative_expansion_regimes(step_size, should_diverge, should_turn):
+    (
+        expand,
+        key,
+        proposal,
+        state,
+        termination_state,
+        energy,
+    ) = _setup_expansion(step_size)
+    result = jax.jit(expand)(
+        key,
+        proposal,
+        state,
+        state,
+        state.momentum,
+        termination_state,
+        energy,
+        jnp.asarray(step_size),
+    )
+    assert bool(result.is_diverging) is should_diverge
+    if should_diverge:
+        assert int(result.step) == 1  # diverges on the very first doubling
+    else:
+        # For eps=1 on a standard normal a U-turn (across the whole
+        # trajectory or inside a subtree) must appear within a few doublings;
+        # for a tiny step size the expansion must run to max_num_expansions.
+        turned = bool(result.is_turning) or bool(result.has_subtree_terminated)
+        assert turned is should_turn
+        if should_turn:
+            assert int(result.step) <= 4
+        else:
+            assert int(result.step) == 10  # exhausts max_num_expansions
+
+
+def test_expansion_counts_integration_steps():
+    (
+        expand,
+        key,
+        proposal,
+        state,
+        termination_state,
+        energy,
+    ) = _setup_expansion(1e-7)
+    result = expand(
+        key,
+        proposal,
+        state,
+        state,
+        state.momentum,
+        termination_state,
+        energy,
+        jnp.asarray(1e-7),
+    )
+    # 10 doublings with no early termination: 1+2+...+512 = 1023 leaves.
+    assert int(result.num_integration_steps) == 1023
