@@ -1,0 +1,126 @@
+"""Multi-device tests on the 8-virtual-device CPU mesh (SURVEY.md §4):
+mesh construction, sharded sampling, pooled cross-chain adaptation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aehmc_tpu import nuts
+from aehmc_tpu.diagnostics import potential_scale_reduction
+from aehmc_tpu.models import mvn, std_normal
+from aehmc_tpu.parallel import (
+    chain_sharding,
+    make_mesh,
+    pooled_warmup,
+    sample_sharded,
+)
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_and_sharding():
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8,)
+    sharding = chain_sharding(mesh)
+    x = jax.device_put(jnp.zeros((16, 4)), sharding)
+    assert len(x.addressable_shards) == 8
+    assert x.addressable_shards[0].data.shape == (2, 4)
+
+
+def test_pooled_warmup_recovers_variance():
+    """Pooled adaptation across 32 chains recovers the target variance with
+    far fewer steps than single-chain warmup."""
+    scale = np.array([1.0, 2.0])
+    logprob_fn = mvn(np.zeros(2), np.diag(scale**2))
+    kernel = nuts.new_kernel(logprob_fn)
+
+    num_chains = 32
+    keys = jax.random.split(jax.random.PRNGKey(0), num_chains)
+    positions = jax.vmap(
+        lambda k: jax.random.normal(k, (2,), jnp.float64)
+    )(keys)
+    states = jax.vmap(lambda q: nuts.new_state(q, logprob_fn))(positions)
+
+    states, (eps, imm), _ = jax.jit(
+        lambda key: pooled_warmup(key, kernel, states, num_steps=200)
+    )(jax.random.PRNGKey(1))
+
+    assert jnp.ndim(eps) == 0  # one shared step size
+    assert 0.05 < float(eps) < 3.0
+    np.testing.assert_allclose(np.asarray(imm), scale**2, rtol=0.5)
+
+
+def test_sample_sharded_end_to_end():
+    """Full pooled warmup + sampling with the chain axis sharded over the
+    8-device mesh."""
+    logprob_fn = std_normal()
+    num_chains = 64
+    initial_positions = jax.random.normal(
+        jax.random.PRNGKey(0), (num_chains, 4), jnp.float64
+    )
+    mesh = make_mesh()
+    result = sample_sharded(
+        jax.random.PRNGKey(1),
+        logprob_fn,
+        initial_positions,
+        num_samples=300,
+        num_warmup=150,
+        mesh=mesh,
+    )
+    assert result.positions.shape == (300, num_chains, 4)
+    samples = jnp.swapaxes(result.positions, 0, 1)  # (chains, draws, dim)
+    rhat = np.asarray(potential_scale_reduction(samples))
+    assert np.all(np.abs(rhat - 1.0) < 0.1)
+    pooled = np.asarray(samples).reshape(-1, 4)
+    np.testing.assert_allclose(pooled.mean(axis=0), 0.0, atol=0.1)
+    np.testing.assert_allclose(pooled.var(axis=0), 1.0, atol=0.25)
+
+
+def test_sharded_bitwise_deterministic_per_seed():
+    """Determinism gate (BASELINE.md north star): same seed + same mesh =>
+    identical bits, run to run."""
+    logprob_fn = std_normal()
+    initial_positions = jax.random.normal(
+        jax.random.PRNGKey(5), (16, 2), jnp.float64
+    )
+    mesh = make_mesh()
+    kwargs = dict(num_samples=50, num_warmup=30, mesh=mesh)
+    res1 = sample_sharded(
+        jax.random.PRNGKey(2), logprob_fn, initial_positions, **kwargs
+    )
+    res2 = sample_sharded(
+        jax.random.PRNGKey(2), logprob_fn, initial_positions, **kwargs
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res1.positions), np.asarray(res2.positions)
+    )
+
+
+def test_sharded_statistically_matches_unsharded():
+    """Across different mesh shapes the cross-chain reduction order changes
+    (last-ulp differences in pooled statistics feed Bernoulli draws), so
+    1-device vs 8-device runs are not bitwise identical — but the posteriors
+    must agree statistically."""
+    logprob_fn = std_normal()
+    initial_positions = jax.random.normal(
+        jax.random.PRNGKey(5), (64, 2), jnp.float64
+    )
+    kwargs = dict(num_samples=400, num_warmup=200)
+    res_sharded = sample_sharded(
+        jax.random.PRNGKey(2), logprob_fn, initial_positions,
+        mesh=make_mesh(), **kwargs,
+    )
+    res_single = sample_sharded(
+        jax.random.PRNGKey(2), logprob_fn, initial_positions,
+        mesh=make_mesh(1), **kwargs,
+    )
+    for res in (res_sharded, res_single):
+        pooled = np.asarray(res.positions).reshape(-1, 2)
+        np.testing.assert_allclose(pooled.mean(axis=0), 0.0, atol=0.1)
+        np.testing.assert_allclose(pooled.var(axis=0), 1.0, atol=0.2)
+    assert float(res_sharded.step_size) == pytest.approx(
+        float(res_single.step_size), rel=0.25
+    )

@@ -1,0 +1,70 @@
+"""Tests of the high-level sampling drivers and multi-chain execution."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aehmc_tpu.diagnostics import potential_scale_reduction
+from aehmc_tpu.models import normal, std_normal
+from aehmc_tpu.sampling import sample, sample_chains
+
+
+def test_sample_one_call_nuts():
+    result = sample(
+        jax.random.PRNGKey(0),
+        normal(1.0, 2.0),
+        jnp.asarray(3.0),
+        num_samples=1500,
+        num_warmup=500,
+    )
+    samples = np.asarray(result.positions)[500:]
+    assert abs(np.mean(samples) - 1.0) < 0.3
+    assert abs(np.var(samples) - 4.0) < 1.2
+    assert 0.05 < float(result.step_size) < 3.0
+
+
+def test_sample_one_call_hmc():
+    result = sample(
+        jax.random.PRNGKey(1),
+        std_normal(),
+        jnp.zeros(3),
+        num_samples=1500,
+        num_warmup=500,
+        algorithm="hmc",
+        num_integration_steps=16,
+    )
+    samples = np.asarray(result.positions)[500:]
+    np.testing.assert_allclose(np.mean(samples, axis=0), 0.0, atol=0.2)
+    np.testing.assert_allclose(np.var(samples, axis=0), 1.0, atol=0.35)
+
+
+def test_sample_skip_warmup_with_given_params():
+    result = sample(
+        jax.random.PRNGKey(2),
+        std_normal(),
+        jnp.zeros(2),
+        num_samples=200,
+        num_warmup=0,
+        step_size=0.5,
+        inverse_mass_matrix=jnp.ones(2),
+    )
+    assert float(result.step_size) == 0.5
+    assert result.positions.shape == (200, 2)
+
+
+def test_sample_chains_rhat():
+    """Four independent chains must converge to the same posterior."""
+    result = sample_chains(
+        jax.random.PRNGKey(3),
+        normal(0.0, 1.0),
+        jnp.asarray([-2.0, -1.0, 1.0, 2.0]),
+        num_samples=1000,
+        num_warmup=400,
+    )
+    assert result.positions.shape == (4, 1000)
+    rhat = float(potential_scale_reduction(result.positions))
+    assert abs(rhat - 1.0) < 0.05
+    # per-chain tuned step sizes are independent but similar
+    eps = np.asarray(result.step_size)
+    assert eps.shape == (4,)
+    assert np.all(eps > 0.05) and np.all(eps < 5.0)

@@ -1,0 +1,87 @@
+"""Warmup integration tests (ref tests/test_hmc.py:13-97): window adaptation
+must move the chain, return a stable step size, and recover the target
+variance as the inverse mass matrix."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aehmc_tpu import nuts, window_adaptation
+from aehmc_tpu.models import mvn, normal
+
+
+def test_warmup_scalar():
+    """Univariate N(1, 2^2): scalar mass matrix (ref tests/test_hmc.py:13-52)."""
+    logprob_fn = normal(1.0, 2.0)
+    kernel = nuts.new_kernel(logprob_fn)
+    initial_state = nuts.new_state(jnp.asarray(3.0), logprob_fn)
+
+    state, (step_size, inverse_mass_matrix), info = jax.jit(
+        lambda key: window_adaptation.run(
+            key, kernel, initial_state, num_steps=1000
+        )
+    )(jax.random.PRNGKey(0))
+
+    assert float(state.position) != 3.0  # the chain has moved
+    assert jnp.ndim(step_size) == 0
+    assert float(step_size) != 1.0
+    assert 0.1 < float(step_size) < 2.0
+    assert jnp.ndim(inverse_mass_matrix) == 0
+    assert float(inverse_mass_matrix) == pytest.approx(4.0, rel=1.0)
+
+
+def test_warmup_vector():
+    """Diagonal MVN: diag mass matrix (ref tests/test_hmc.py:55-97)."""
+    loc = np.array([0.0, 3.0])
+    scale = np.array([1.0, 2.0])
+    logprob_fn = mvn(loc, np.diag(scale**2))
+    kernel = nuts.new_kernel(logprob_fn)
+    initial_state = nuts.new_state(jnp.asarray([1.0, 1.0]), logprob_fn)
+
+    state, (step_size, inverse_mass_matrix), _ = jax.jit(
+        lambda key: window_adaptation.run(
+            key, kernel, initial_state, num_steps=1000
+        )
+    )(jax.random.PRNGKey(0))
+
+    assert np.all(np.asarray(state.position) != np.array([1.0, 1.0]))
+    assert jnp.ndim(step_size) == 0
+    assert 0.1 < float(step_size) < 2.0
+    assert inverse_mass_matrix.ndim == 1
+    np.testing.assert_allclose(inverse_mass_matrix, scale**2, rtol=1.0)
+
+
+def test_warmup_full_mass_matrix():
+    """Dense mass matrix recovers the full covariance on a correlated MVN."""
+    cov = np.array([[1.0, 0.7], [0.7, 2.0]])
+    logprob_fn = mvn(np.zeros(2), cov)
+    kernel = nuts.new_kernel(logprob_fn)
+    initial_state = nuts.new_state(jnp.zeros(2), logprob_fn)
+
+    _, (step_size, inverse_mass_matrix), _ = jax.jit(
+        lambda key: window_adaptation.run(
+            key,
+            kernel,
+            initial_state,
+            num_steps=1500,
+            is_mass_matrix_full=True,
+        )
+    )(jax.random.PRNGKey(4))
+
+    assert inverse_mass_matrix.shape == (2, 2)
+    # off-diagonal sign must be recovered, magnitudes loosely
+    assert float(inverse_mass_matrix[0, 1]) > 0.1
+    np.testing.assert_allclose(inverse_mass_matrix, cov, rtol=1.0)
+    assert 0.1 < float(step_size) < 2.0
+
+
+def test_final_step_size_is_averaged_iterate():
+    """On the last step the returned step size switches to exp(x_avg)."""
+    logprob_fn = normal(0.0, 1.0)
+    kernel = nuts.new_kernel(logprob_fn)
+    initial_state = nuts.new_state(jnp.asarray(0.5), logprob_fn)
+    _, (eps, _), info = window_adaptation.run(
+        jax.random.PRNGKey(1), kernel, initial_state, num_steps=100
+    )
+    assert np.isfinite(float(eps)) and float(eps) > 0.0
