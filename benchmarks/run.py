@@ -1,0 +1,251 @@
+"""The five BASELINE.md benchmark configs.
+
+Run:  python benchmarks/run.py [config ...]
+Configs: readme_nuts, linreg_warmup, mvn25_dense, funnel, logistic_10k, all
+
+Each prints one JSON line per config (stdout); narration on stderr.
+``bench.py`` at the repo root remains the driver's single headline metric.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _emit(name, value, unit, extra=None):
+    rec = {"config": name, "value": round(float(value), 2), "unit": unit}
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def _ess_per_sec(positions, elapsed):
+    """positions: (draws, chains, dim) or (draws, chains)."""
+    from aehmc_tpu.diagnostics import effective_sample_size
+
+    samples = jnp.swapaxes(positions, 0, 1)
+    ess = np.asarray(effective_sample_size(samples))
+    return float(np.sum(ess) / elapsed), float(np.min(ess))
+
+
+def readme_nuts():
+    """Config 1: single-chain NUTS on a 1-D standard normal, 100 steps
+    (the reference README example, ref README.md:41-53)."""
+    from aehmc_tpu import nuts
+    from aehmc_tpu.models import std_normal
+    from aehmc_tpu.sampling import sample_loop
+
+    logprob_fn = std_normal()
+    kernel = nuts.new_kernel(logprob_fn)
+    state = nuts.new_state(jnp.asarray(1.0, jnp.float32), logprob_fn)
+    bound = lambda k, s: kernel(  # noqa: E731
+        k, s, jnp.asarray(0.9, jnp.float32), jnp.asarray(1.0, jnp.float32)
+    )
+    run = jax.jit(lambda key: sample_loop(key, bound, state, 100))
+    out = run(jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = run(jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    _emit("readme_nuts_100_steps", dt * 1e3, "ms", {"draws_per_sec": round(100 / dt)})
+
+
+def linreg_warmup():
+    """Config 2: LinearRegression posterior with full window adaptation."""
+    from aehmc_tpu import nuts, window_adaptation
+    from aehmc_tpu.models import linear_regression
+
+    logprob_fn, q0 = linear_regression(num_points=10_000)
+    q0 = q0.astype(jnp.float32)
+    kernel = nuts.new_kernel(logprob_fn)
+    state = nuts.new_state(q0, logprob_fn)
+
+    run = jax.jit(
+        lambda key: window_adaptation.run(
+            key, kernel, state, num_steps=1000, initial_step_size=0.1
+        )
+    )
+    out = run(jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    _, (eps, imm), info = run(jax.random.PRNGKey(1))
+    jax.block_until_ready(eps)
+    dt = time.perf_counter() - t0
+    evals = int(np.sum(np.asarray(info.num_integration_steps)))
+    log(f"linreg warmup: eps={float(eps):.4f} imm={np.asarray(imm)} evals={evals}")
+    _emit(
+        "linreg_window_adaptation_1000",
+        dt,
+        "s",
+        {"grad_evals_per_sec": round(evals / dt)},
+    )
+
+
+def mvn25_dense():
+    """Config 3: 25-d correlated MVN, dense mass matrix NUTS."""
+    from aehmc_tpu import nuts
+    from aehmc_tpu.models import correlated_mvn
+    from aehmc_tpu.sampling import sample_loop
+
+    dim, rho = 25, 0.5
+    logprob_fn = correlated_mvn(dim, rho)
+    cov = np.full((dim, dim), rho, dtype=np.float32)
+    np.fill_diagonal(cov, 1.0)
+
+    kernel = nuts.new_kernel(logprob_fn)
+    num_chains, num_draws = 512, 200
+    imm = jnp.asarray(cov)  # true covariance as dense inverse mass matrix
+    eps = jnp.asarray(0.8, jnp.float32)
+
+    def run(key):
+        keys = jax.random.split(key, num_chains)
+        qs = jax.vmap(lambda k: jax.random.normal(k, (dim,), jnp.float32))(keys)
+        states = jax.vmap(lambda q: nuts.new_state(q, logprob_fn))(qs)
+
+        def chain(k, s):
+            bound = lambda kk, ss: kernel(kk, ss, eps, imm)  # noqa: E731
+            _, pos, infos = sample_loop(k, bound, s, num_draws)
+            return pos, infos.num_integration_steps
+
+        return jax.vmap(chain)(keys, states)
+
+    jitted = jax.jit(run)
+    out = jitted(jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    pos, steps = jitted(jax.random.PRNGKey(1))
+    jax.block_until_ready(pos)
+    dt = time.perf_counter() - t0
+    ess_sec, min_ess = _ess_per_sec(jnp.swapaxes(pos, 0, 1), dt)
+    evals = int(np.sum(np.asarray(steps)))
+    log(f"mvn25: {evals} evals, min ESS {min_ess:.0f}")
+    _emit(
+        "mvn25_dense_nuts",
+        ess_sec,
+        "ESS/s",
+        {"grad_evals_per_sec": round(evals / dt), "chains": num_chains},
+    )
+
+
+def funnel():
+    """Config 4: Neal's funnel, max tree depth 10 (stresses doubling)."""
+    from aehmc_tpu import nuts
+    from aehmc_tpu.models import neals_funnel
+    from aehmc_tpu.sampling import sample_loop
+
+    logprob_fn, q0 = neals_funnel(dim=10)
+    q0 = q0.astype(jnp.float32)
+    kernel = nuts.new_kernel(logprob_fn, max_num_expansions=10)
+    num_chains, num_draws = 512, 200
+    eps = jnp.asarray(0.2, jnp.float32)
+    imm = jnp.ones(10, jnp.float32)
+
+    def run(key):
+        keys = jax.random.split(key, num_chains)
+        qs = 0.1 * jax.vmap(lambda k: jax.random.normal(k, (10,), jnp.float32))(
+            keys
+        )
+        states = jax.vmap(lambda q: nuts.new_state(q, logprob_fn))(qs)
+
+        def chain(k, s):
+            bound = lambda kk, ss: kernel(kk, ss, eps, imm)  # noqa: E731
+            _, pos, infos = sample_loop(k, bound, s, num_draws)
+            return pos, infos.num_integration_steps, infos.num_doublings
+
+        return jax.vmap(chain)(keys, states)
+
+    jitted = jax.jit(run)
+    out = jitted(jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    pos, steps, doublings = jitted(jax.random.PRNGKey(1))
+    jax.block_until_ready(pos)
+    dt = time.perf_counter() - t0
+    evals = int(np.sum(np.asarray(steps)))
+    log(
+        f"funnel: mean depth {float(np.mean(np.asarray(doublings))):.1f}, "
+        f"max depth {int(np.max(np.asarray(doublings)))}"
+    )
+    _emit(
+        "neals_funnel_depth10",
+        evals / dt,
+        "grad_evals/s",
+        {"chains": num_chains},
+    )
+
+
+def logistic_10k():
+    """Config 5: 10k chains, 100-d logistic regression, mesh-sharded."""
+    from aehmc_tpu import nuts
+    from aehmc_tpu.models import logistic_regression
+    from aehmc_tpu.sampling import sample_loop
+
+    dim, num_chains, num_draws = 100, 10_240, 50
+    logprob_fn, q0 = logistic_regression(dim=dim, num_points=1000)
+    kernel = nuts.new_kernel(logprob_fn, max_num_expansions=8)
+    eps = jnp.asarray(0.25, jnp.float32)
+    imm = jnp.ones(dim, jnp.float32)
+
+    def run(key):
+        keys = jax.random.split(key, num_chains)
+        qs = jnp.tile(q0, (num_chains, 1)) + 0.1 * jax.vmap(
+            lambda k: jax.random.normal(k, (dim,), jnp.float32)
+        )(keys)
+        states = jax.vmap(lambda q: nuts.new_state(q, logprob_fn))(qs)
+
+        def chain(k, s):
+            bound = lambda kk, ss: kernel(kk, ss, eps, imm)  # noqa: E731
+            _, pos, infos = sample_loop(k, bound, s, num_draws)
+            return pos, infos.num_integration_steps
+
+        return jax.vmap(chain)(keys, states)
+
+    jitted = jax.jit(run)
+    out = jitted(jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    pos, steps = jitted(jax.random.PRNGKey(1))
+    jax.block_until_ready(pos)
+    dt = time.perf_counter() - t0
+    evals = int(np.sum(np.asarray(steps)))
+    ess_sec, min_ess = _ess_per_sec(jnp.swapaxes(pos, 0, 1), dt)
+    log(f"logistic 10k chains: {evals:,} evals in {dt:.2f}s, min ESS {min_ess:.0f}")
+    _emit(
+        "logistic_10k_chains_100d",
+        evals / dt,
+        "grad_evals/s",
+        {"ess_per_sec": round(ess_sec), "chains": num_chains},
+    )
+
+
+CONFIGS = {
+    "readme_nuts": readme_nuts,
+    "linreg_warmup": linreg_warmup,
+    "mvn25_dense": mvn25_dense,
+    "funnel": funnel,
+    "logistic_10k": logistic_10k,
+}
+
+
+def main():
+    names = sys.argv[1:] or ["all"]
+    if names == ["all"]:
+        names = list(CONFIGS)
+    log(f"backend: {jax.default_backend()}")
+    for name in names:
+        CONFIGS[name]()
+
+
+if __name__ == "__main__":
+    main()
