@@ -24,6 +24,7 @@ __version__ = "0.1.0"
 
 from aehmc_tpu import (  # noqa: F401
     algorithms,
+    checkpoint,
     diagnostics,
     hmc,
     integrators,
@@ -31,6 +32,7 @@ from aehmc_tpu import (  # noqa: F401
     metrics,
     models,
     nuts,
+    observability,
     proposals,
     sampling,
     step_size,
