@@ -77,18 +77,26 @@ def iterative_uturn(
         momentum: jax.Array,
         step: jax.Array,
     ) -> TerminationState:
-        """Write checkpoints at even steps; refresh the active index range."""
+        """Write checkpoints at even steps; refresh the active index range.
+
+        The write is a broadcast *select* on a one-hot row mask rather than a
+        ``.at[idx].set`` scatter: under ``vmap`` over thousands of chains a
+        per-lane dynamic-index scatter lowers to an XLA scatter over the whole
+        (chains, K, dim) buffer — orders of magnitude slower on TPU than the
+        equivalent masked select, which stays a fused elementwise op.
+        """
         idx_min, idx_max = _find_storage_indices(step)
         is_even = jnp.equal(step % 2, 0)
+        num_slots = state.momentum_checkpoints.shape[0]
+        slot = jax.lax.broadcasted_iota(
+            jnp.int32, (num_slots,) + (1,) * (state.momentum_checkpoints.ndim - 1), 0
+        )
+        row_mask = jnp.equal(slot, idx_max) & is_even
         momentum_ckpts = jnp.where(
-            is_even,
-            state.momentum_checkpoints.at[idx_max].set(momentum),
-            state.momentum_checkpoints,
+            row_mask, momentum, state.momentum_checkpoints
         )
         momentum_sum_ckpts = jnp.where(
-            is_even,
-            state.momentum_sum_checkpoints.at[idx_max].set(momentum_sum),
-            state.momentum_sum_checkpoints,
+            row_mask, momentum_sum, state.momentum_sum_checkpoints
         )
         return TerminationState(
             momentum_checkpoints=momentum_ckpts,
