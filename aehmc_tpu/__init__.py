@@ -25,6 +25,7 @@ __version__ = "0.1.0"
 from aehmc_tpu import (  # noqa: F401
     algorithms,
     checkpoint,
+    chees,
     diagnostics,
     hmc,
     integrators,

@@ -36,8 +36,16 @@ def new_state(position: jax.Array, logprob_fn: Callable) -> ChainState:
 def new_kernel(
     logprob_fn: Callable,
     divergence_threshold: float = 1000.0,
+    integrator: Callable = velocity_verlet,
 ) -> Callable:
     """Build an HMC transition kernel (ref hmc.py:43-126).
+
+    Parameters
+    ----------
+    integrator
+        Symplectic scheme factory, ``(potential_fn, kinetic_energy_fn) ->
+        one_step``; defaults to velocity Verlet (see
+        :mod:`aehmc_tpu.integrators` for higher-order options).
 
     Returns
     -------
@@ -60,7 +68,7 @@ def new_kernel(
         momentum_generator, kinetic_energy_fn, _ = metrics.gaussian_metric(
             inverse_mass_matrix
         )
-        symplectic_integrator = velocity_verlet(potential_fn, kinetic_energy_fn)
+        symplectic_integrator = integrator(potential_fn, kinetic_energy_fn)
         integrate = static_integration(
             symplectic_integrator, num_integration_steps
         )

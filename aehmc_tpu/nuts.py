@@ -26,6 +26,7 @@ def new_kernel(
     logprob_fn: Callable,
     max_num_expansions: int = 10,
     divergence_threshold: float = 1000.0,
+    integrator: Callable = velocity_verlet,
 ) -> Callable:
     """Build an iterative NUTS transition kernel (ref nuts.py:17-155).
 
@@ -37,6 +38,9 @@ def new_kernel(
         Maximum number of trajectory doublings (max tree depth).
     divergence_threshold
         Energy difference above which a transition is declared divergent.
+    integrator
+        Symplectic scheme factory (default velocity Verlet; see
+        :mod:`aehmc_tpu.integrators`).
 
     Returns
     -------
@@ -60,7 +64,7 @@ def new_kernel(
             kinetic_energy_fn,
             uturn_check_fn,
         ) = metrics.gaussian_metric(inverse_mass_matrix)
-        symplectic_integrator = velocity_verlet(potential_fn, kinetic_energy_fn)
+        symplectic_integrator = integrator(potential_fn, kinetic_energy_fn)
         (
             new_termination_state,
             update_termination_state,

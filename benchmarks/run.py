@@ -254,12 +254,72 @@ def logistic_10k():
     )
 
 
+def chees_10k():
+    """ChEES-HMC on the config-5 posterior: the TPU-native alternative to
+    NUTS — shared jittered trajectory lengths mean zero per-chain control
+    flow and no straggler lanes."""
+    from aehmc_tpu import chees, hmc
+    from aehmc_tpu.models import logistic_regression
+
+    dim, num_chains, num_draws = 100, 10_240, 100
+    logprob_fn, q0 = logistic_regression(dim=dim, num_points=1000)
+    keys = jax.random.split(jax.random.PRNGKey(0), num_chains)
+    qs = jnp.tile(q0, (num_chains, 1)) + 0.1 * jax.vmap(
+        lambda k: jax.random.normal(k, (dim,), jnp.float32)
+    )(keys)
+    states = jax.vmap(lambda q: hmc.new_state(q, logprob_fn))(qs)
+
+    t0 = time.perf_counter()
+    result = jax.jit(
+        lambda k: chees.warmup(
+            k, logprob_fn, states, num_steps=300, initial_step_size=0.05
+        )
+    )(jax.random.PRNGKey(1))
+    jax.block_until_ready(result.step_size)
+    warmup_wall = time.perf_counter() - t0
+
+    sampler = jax.jit(
+        lambda k: chees.sample(
+            k,
+            logprob_fn,
+            result.states,
+            num_draws,
+            result.step_size,
+            result.trajectory_length,
+            result.inverse_mass_matrix,
+        )
+    )
+    out = sampler(jax.random.PRNGKey(2))
+    jax.block_until_ready(out[1])
+    t0 = time.perf_counter()
+    _, pos, (accept, nsteps) = sampler(jax.random.PRNGKey(3))
+    jax.block_until_ready(pos)
+    dt = time.perf_counter() - t0
+    evals = int(np.sum(np.asarray(nsteps))) * num_chains
+    ess_sec, min_ess = _ess_per_sec(pos, dt)
+    log(
+        f"chees 10k: accept {float(np.mean(np.asarray(accept))):.3f}, "
+        f"min ESS {min_ess:.0f}, warmup {warmup_wall:.1f}s"
+    )
+    _emit(
+        "chees_10k_chains_100d",
+        evals / dt,
+        "grad_evals/s",
+        {
+            "ess_per_sec": round(ess_sec),
+            "chains": num_chains,
+            "warmup_wall_s": round(warmup_wall, 1),
+        },
+    )
+
+
 CONFIGS = {
     "readme_nuts": readme_nuts,
     "linreg_warmup": linreg_warmup,
     "mvn25_dense": mvn25_dense,
     "funnel": funnel,
     "logistic_10k": logistic_10k,
+    "chees_10k": chees_10k,
 }
 
 
