@@ -48,6 +48,11 @@ def gaussian_metric(
     inverse_mass_matrix = jnp.asarray(inverse_mass_matrix)
     ndim = inverse_mass_matrix.ndim
 
+    # `dot` and `matmul` operate on the *last* axis so every metric function
+    # (kinetic energy, U-turn check) works on arbitrarily-batched inputs —
+    # e.g. the termination criterion evaluates all K checkpoint slots in one
+    # fused pass instead of a vmap of per-slot dots (a measurable win at
+    # 10k chains; see PERF.md).
     if ndim == 0:
         shape: Tuple[int, ...] = ()
         mass_matrix_sqrt = jnp.sqrt(jnp.reciprocal(inverse_mass_matrix))
@@ -56,7 +61,7 @@ def gaussian_metric(
     elif ndim == 1:
         shape = (inverse_mass_matrix.shape[0],)
         mass_matrix_sqrt = jnp.sqrt(jnp.reciprocal(inverse_mass_matrix))
-        dot = jnp.dot
+        dot = lambda x, y: jnp.sum(x * y, axis=-1)  # noqa: E731
         matmul = lambda x, y: x * y  # noqa: E731
     elif ndim == 2:
         # M^{-1} = L L^T; the Cholesky factor of M is L^{-T}
@@ -67,8 +72,8 @@ def gaussian_metric(
         mass_matrix_sqrt = jsl.solve_triangular(
             L, identity, lower=True, trans="T"
         )
-        dot = jnp.dot
-        matmul = jnp.dot
+        dot = lambda x, y: jnp.sum(x * y, axis=-1)  # noqa: E731
+        matmul = lambda m, x: jnp.einsum("ij,...j->...i", m, x)  # noqa: E731
     else:
         raise ValueError(
             "Expected a mass matrix of dimension 0 (scalar), 1 (diagonal) or "

@@ -18,7 +18,11 @@ from aehmc_tpu.hmc import new_state  # noqa: F401  (ref nuts.py:14)
 from aehmc_tpu.integrators import velocity_verlet
 from aehmc_tpu.proposals import ProposalState
 from aehmc_tpu.termination import iterative_uturn
-from aehmc_tpu.trajectory import dynamic_integration, multiplicative_expansion
+from aehmc_tpu.trajectory import (
+    dynamic_integration,
+    dynamic_integration_paired,
+    multiplicative_expansion,
+)
 from aehmc_tpu.types import ChainState, Diagnostics, IntegratorState
 
 
@@ -27,6 +31,7 @@ def new_kernel(
     max_num_expansions: int = 10,
     divergence_threshold: float = 1000.0,
     integrator: Callable = velocity_verlet,
+    paired_leaves: bool = False,
 ) -> Callable:
     """Build an iterative NUTS transition kernel (ref nuts.py:17-155).
 
@@ -41,6 +46,14 @@ def new_kernel(
     integrator
         Symplectic scheme factory (default velocity Verlet; see
         :mod:`aehmc_tpu.integrators`).
+    paired_leaves
+        Opt into the two-leaves-per-iteration subtree loop: same semantics,
+        half the checkpoint bookkeeping per leaf at the cost of one extra
+        masked integrator step per subtree — a wash at shallow tree depths,
+        ~1.9x throughput on deep trees (Neal's funnel), but currently ~50x
+        slower to COMPILE (XLA chokes on the inlined pair+epilogue bodies),
+        so it is off by default; turn on for long-running deep-tree
+        workloads.  See trajectory.dynamic_integration_paired and PERF.md.
 
     Returns
     -------
@@ -70,7 +83,10 @@ def new_kernel(
             update_termination_state,
             is_criterion_met,
         ) = iterative_uturn(uturn_check_fn)
-        trajectory_integrator = dynamic_integration(
+        integration = (
+            dynamic_integration_paired if paired_leaves else dynamic_integration
+        )
+        trajectory_integrator = integration(
             symplectic_integrator,
             kinetic_energy_fn,
             update_termination_state,

@@ -76,6 +76,7 @@ def iterative_uturn(
         momentum_sum: jax.Array,
         momentum: jax.Array,
         step: jax.Array,
+        parity: int = None,
     ) -> TerminationState:
         """Write checkpoints at even steps; refresh the active index range.
 
@@ -84,14 +85,23 @@ def iterative_uturn(
         per-lane dynamic-index scatter lowers to an XLA scatter over the whole
         (chains, K, dim) buffer — orders of magnitude slower on TPU than the
         equivalent masked select, which stays a fused elementwise op.
+
+        ``parity`` is a static hint when the caller knows the step's parity
+        at trace time (the paired trajectory loop does): ``0`` writes
+        unconditionally, ``1`` skips the buffers entirely (odd steps never
+        write), ``None`` masks on the runtime parity.
         """
         idx_min, idx_max = _find_storage_indices(step)
-        is_even = jnp.equal(step % 2, 0)
+        if parity == 1:
+            return state._replace(min_index=idx_min, max_index=idx_max)
+
         num_slots = state.momentum_checkpoints.shape[0]
         slot = jax.lax.broadcasted_iota(
             jnp.int32, (num_slots,) + (1,) * (state.momentum_checkpoints.ndim - 1), 0
         )
-        row_mask = jnp.equal(slot, idx_max) & is_even
+        row_mask = jnp.equal(slot, idx_max)
+        if parity is None:
+            row_mask = row_mask & jnp.equal(step % 2, 0)
         momentum_ckpts = jnp.where(
             row_mask, momentum, state.momentum_checkpoints
         )
@@ -109,6 +119,7 @@ def iterative_uturn(
         state: TerminationState,
         momentum_sum: jax.Array,
         momentum: jax.Array,
+        step: jax.Array = None,
     ) -> jax.Array:
         """Check all subtrees ending at the current (odd) leaf for a U-turn.
 
@@ -116,17 +127,31 @@ def iterative_uturn(
         ``[min_index, max_index]`` reconstruct that subtree's momentum sum as
         ``momentum_sum - sum_ckpt[i] + p_ckpt[i]`` and apply the metric's
         turning criterion; reduce with ``any`` (ref termination.py:133-185).
+
+        When ``step`` is given, the active index range is derived from it
+        directly so the check can run on the *pre-update* state: checkpoint
+        writes only happen at even steps and real checks only at odd steps,
+        so check-then-write is equivalent to write-then-check — and breaking
+        the read-after-write dependency lets XLA alias the checkpoint
+        buffers in the trajectory while-loop carry instead of copying them
+        every leaf (see PERF.md).
         """
         max_num_doublings = state.momentum_checkpoints.shape[0]
         idx = jnp.arange(max_num_doublings, dtype=jnp.int32)
-        in_range = (idx >= state.min_index) & (idx <= state.max_index)
+        if step is None:
+            idx_min, idx_max = state.min_index, state.max_index
+        else:
+            idx_min, idx_max = _find_storage_indices(step)
+        in_range = (idx >= idx_min) & (idx <= idx_max)
 
         subtree_momentum_sums = (
             momentum_sum
             - state.momentum_sum_checkpoints
             + state.momentum_checkpoints
         )
-        turning = jax.vmap(is_turning_fn, in_axes=(0, None, 0))(
+        # The metric's is_turning reduces over the last axis, so all K slots
+        # evaluate in one fused batched pass (no vmap-of-dots).
+        turning = is_turning_fn(
             state.momentum_checkpoints, momentum, subtree_momentum_sums
         )
         return jnp.any(turning & in_range)

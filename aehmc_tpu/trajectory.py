@@ -132,11 +132,14 @@ def dynamic_integration(
             sampled_proposal = sample_proposal(sample_key, proposal, new_proposal)
 
             new_momentum_sum = momentum_sum + new_state.momentum
-            new_term_state = update_termination_state(
+            # Check against the PRE-update buffers (equivalent: writes happen
+            # at even steps, real checks at odd steps) so the checkpoint
+            # buffers have no read-after-write hazard inside the loop body.
+            has_terminated = is_criterion_met(
                 term_state, new_momentum_sum, new_state.momentum, step
             )
-            has_terminated = is_criterion_met(
-                new_term_state, new_momentum_sum, new_state.momentum
+            new_term_state = update_termination_state(
+                term_state, new_momentum_sum, new_state.momentum, step
             )
             return (
                 key,
@@ -166,6 +169,168 @@ def dynamic_integration(
             momentum_sum,
             termination_state,
             trajectory_length,
+            is_diverging,
+            has_terminated,
+        )
+
+    return integrate
+
+
+def dynamic_integration_paired(
+    integrator: Callable,
+    kinetic_energy: Callable,
+    update_termination_state: Callable,
+    is_criterion_met: Callable,
+    divergence_threshold: float,
+) -> Callable:
+    """Semantically-equivalent variant of :func:`dynamic_integration` that
+    advances TWO leaves per loop iteration.
+
+    Checkpoint *writes* only happen at even leaf steps and non-vacuous U-turn
+    *checks* only at odd steps (ref termination.py:115-124 and the empty
+    index range at even steps), so pairing (odd, even) makes both facts
+    trace-time structure: one buffer write and one turning check per pair
+    instead of per leaf, and half the loop iterations.  Leaf order, proposal
+    sampling, and stopping semantics are identical; only the PRNG stream
+    differs (two sampling keys drawn per iteration).
+
+    Stopped lanes may execute one extra masked integrator step per subtree
+    (the pair's second leaf / the epilogue leaf) — wasted work under SPMD,
+    outweighed by the halved bookkeeping.
+    """
+    generate_proposal = proposal_generator(kinetic_energy, divergence_threshold)
+    sample_proposal = progressive_uniform_sampling
+
+    def integrate(
+        rng_key: jax.Array,
+        previous_last_state: IntegratorState,
+        direction: jax.Array,
+        termination_state: TerminationState,
+        max_num_steps: jax.Array,
+        step_size: jax.Array,
+        initial_energy: jax.Array,
+    ):
+        def one_leaf(key, proposal, last_state, momentum_sum, step,
+                     check: bool, term_state):
+            """Integrate leaf ``step``; returns the post-leaf quantities."""
+            new_state = integrator(last_state, direction * step_size)
+            new_proposal, is_diverging = generate_proposal(
+                initial_energy, new_state
+            )
+            sampled = sample_proposal(key, proposal, new_proposal)
+            new_momentum_sum = momentum_sum + new_state.momentum
+            if check:
+                has_terminated = is_criterion_met(
+                    term_state, new_momentum_sum, new_state.momentum, step
+                )
+            else:
+                has_terminated = jnp.asarray(False)
+            return sampled, new_state, new_momentum_sum, is_diverging, has_terminated
+
+        # Leaf 0 (even): seeds the subtree proposal, writes checkpoint slot 0,
+        # never checked (ref trajectory.py:276-284).
+        state = integrator(previous_last_state, direction * step_size)
+        proposal, is_diverging = generate_proposal(initial_energy, state)
+        momentum_sum = state.momentum
+        termination_state = update_termination_state(
+            termination_state, momentum_sum, state.momentum, 0, parity=0
+        )
+
+        carry = (
+            rng_key,
+            jnp.asarray(1, dtype=jnp.int32),  # length = leaves integrated
+            proposal,
+            state,
+            momentum_sum,
+            termination_state,
+            is_diverging,
+            jnp.asarray(False),
+        )
+
+        def cond_fn(c):
+            _, length, _, _, _, _, diverging, terminated = c
+            # next pair is (length, length+1); run it only if the pair's even
+            # leaf still fits strictly below the epilogue leaf max-1
+            return (length + 1 < max_num_steps) & ~diverging & ~terminated
+
+        def body_fn(c):
+            key, length, proposal, last_state, momentum_sum, ts, _, _ = c
+            key, key_a, key_b = jax.random.split(key, 3)
+            step_a = length  # odd
+            step_b = length + 1  # even
+
+            prop_a, state_a, psum_a, div_a, term_a = one_leaf(
+                key_a, proposal, last_state, momentum_sum, step_a, True, ts
+            )
+            ts_a = update_termination_state(
+                ts, psum_a, state_a.momentum, step_a, parity=1
+            )
+            stop_a = div_a | term_a
+
+            prop_b, state_b, psum_b, div_b, _ = one_leaf(
+                key_b, prop_a, state_a, psum_a, step_b, False, ts_a
+            )
+            ts_b = update_termination_state(
+                ts_a, psum_b, state_b.momentum, step_b, parity=0
+            )
+
+            pick = lambda a, b: jax.tree_util.tree_map(  # noqa: E731
+                lambda x, y: jnp.where(stop_a, x, y), a, b
+            )
+            return (
+                key,
+                jnp.where(stop_a, length + 1, length + 2),
+                pick(prop_a, prop_b),
+                pick(state_a, state_b),
+                pick(psum_a, psum_b),
+                pick(ts_a, ts_b),
+                jnp.where(stop_a, div_a, div_b),
+                term_a,
+            )
+
+        (
+            key,
+            length,
+            proposal,
+            last_state,
+            momentum_sum,
+            termination_state,
+            is_diverging,
+            has_terminated,
+        ) = jax.lax.while_loop(cond_fn, body_fn, carry)
+
+        # Epilogue: the final odd leaf max_num_steps-1 (exists iff max >= 2),
+        # whose check decides whether the completed subtree U-turned.
+        key, key_e = jax.random.split(key)
+        prop_e, state_e, psum_e, div_e, term_e = one_leaf(
+            key_e, proposal, last_state, momentum_sum,
+            max_num_steps - 1, True, termination_state,
+        )
+        # the final leaf's write (if the step were even) is never read — every
+        # checkpoint consulted at a leaf was written earlier in the SAME
+        # subtree — so indices-only is safe here too
+        ts_e = update_termination_state(
+            termination_state, psum_e, state_e.momentum, max_num_steps - 1,
+            parity=1,
+        )
+        do_epilogue = (max_num_steps >= 2) & ~is_diverging & ~has_terminated
+        pick_e = lambda e, o: jax.tree_util.tree_map(  # noqa: E731
+            lambda x, y: jnp.where(do_epilogue, x, y), e, o
+        )
+        proposal = pick_e(prop_e, proposal)
+        last_state = pick_e(state_e, last_state)
+        momentum_sum = pick_e(psum_e, momentum_sum)
+        termination_state = pick_e(ts_e, termination_state)
+        length = jnp.where(do_epilogue, length + 1, length)
+        is_diverging = jnp.where(do_epilogue, div_e, is_diverging)
+        has_terminated = jnp.where(do_epilogue, term_e, has_terminated)
+
+        return (
+            proposal,
+            last_state,
+            momentum_sum,
+            termination_state,
+            length,
             is_diverging,
             has_terminated,
         )

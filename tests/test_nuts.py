@@ -10,7 +10,10 @@ import numpy as np
 from aehmc_tpu import nuts
 from aehmc_tpu.models import std_normal
 from aehmc_tpu.sampling import sample_loop
-from tests.test_hmc import assert_mcse_within_error, multivariate_normal_model
+from tests.test_hmc import (
+    assert_mcse_within_error,
+    multivariate_normal_model,
+)
 
 
 def test_nuts_mcse():
@@ -88,3 +91,22 @@ def test_nuts_divergence_flag():
     )(jax.random.PRNGKey(0))
     assert bool(info.is_diverging)
     assert float(new_state.position) == 1.0  # proposal rejected
+
+
+def test_paired_leaves_statistically_equivalent():
+    """The opt-in paired subtree loop must sample the same posterior as
+    the default single-leaf loop."""
+    (loc, scale, rho), logprob_fn = multivariate_normal_model()
+    kernel = nuts.new_kernel(logprob_fn, paired_leaves=True)
+    initial_state = nuts.new_state(jnp.zeros(2), logprob_fn)
+    bound = lambda key, state: kernel(  # noqa: E731
+        key, state, jnp.asarray(1.0), jnp.asarray(scale)
+    )
+    _, positions, infos = jax.jit(
+        lambda key: sample_loop(key, bound, initial_state, 3000)
+    )(jax.random.PRNGKey(11))
+    samples = np.asarray(positions)[-1000:]
+    assert_mcse_within_error(samples, loc, scale, rho)
+    infos = jax.tree_util.tree_map(np.asarray, infos)
+    assert not np.any(infos.is_diverging)
+    assert np.all(infos.num_integration_steps <= 2**infos.num_doublings)
