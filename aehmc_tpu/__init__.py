@@ -28,6 +28,7 @@ from aehmc_tpu import (  # noqa: F401
     chees,
     diagnostics,
     hmc,
+    mala,
     integrators,
     mass_matrix,
     metrics,
