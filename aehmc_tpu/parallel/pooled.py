@@ -18,7 +18,7 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from aehmc_tpu import hmc, nuts
+from aehmc_tpu import hmc, mala, nuts
 from aehmc_tpu.algorithms import welford_update_batch
 from aehmc_tpu.mass_matrix import covariance_adaptation
 from aehmc_tpu.parallel.mesh import chain_sharding, make_mesh
@@ -203,6 +203,8 @@ def sample_sharded(
         kernel = lambda key, state, eps, imm: base(  # noqa: E731
             key, state, eps, imm, num_integration_steps
         )
+    elif algorithm == "mala":
+        kernel = mala.new_kernel(logprob_fn, divergence_threshold)
     else:
         raise ValueError(f"Unknown algorithm: {algorithm!r}")
 

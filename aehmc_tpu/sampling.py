@@ -18,7 +18,7 @@ from typing import Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from aehmc_tpu import hmc, nuts, window_adaptation
+from aehmc_tpu import hmc, mala, nuts, window_adaptation
 from aehmc_tpu.types import ChainState, Diagnostics
 
 
@@ -105,6 +105,8 @@ def sample(
         kernel = lambda key, state, eps, imm: base(  # noqa: E731
             key, state, eps, imm, num_integration_steps
         )
+    elif algorithm == "mala":
+        kernel = mala.new_kernel(logprob_fn, divergence_threshold)
     else:
         raise ValueError(f"Unknown algorithm: {algorithm!r}")
 

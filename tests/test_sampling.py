@@ -68,3 +68,17 @@ def test_sample_chains_rhat():
     eps = np.asarray(result.step_size)
     assert eps.shape == (4,)
     assert np.all(eps > 0.05) and np.all(eps < 5.0)
+
+
+def test_sample_one_call_mala():
+    result = sample(
+        jax.random.PRNGKey(4),
+        normal(1.0, 2.0),
+        jnp.asarray(0.0),
+        num_samples=8000,
+        num_warmup=500,
+        algorithm="mala",
+    )
+    samples = np.asarray(result.positions)[2000:]
+    assert abs(np.mean(samples) - 1.0) < 0.3
+    assert abs(np.var(samples) - 4.0) < 1.2
