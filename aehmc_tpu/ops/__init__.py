@@ -7,6 +7,10 @@ Every kernel ships with a pure-``lax`` reference implementation used as the
 correctness oracle and as the fallback on non-TPU backends.
 """
 
+from aehmc_tpu.ops.fused_hmc import (  # noqa: F401
+    fused_logistic_hmc_reference,
+    fused_logistic_hmc_tpu,
+)
 from aehmc_tpu.ops.leapfrog import (  # noqa: F401
     batched_leapfrog_reference,
     batched_leapfrog_tpu,
