@@ -69,8 +69,19 @@ def new_kernel(
     logprob_fn: Callable,
     divergence_threshold: float = 1000.0,
     integrator: Callable = velocity_verlet,
+    integrate_fn: Callable = None,
 ) -> Callable:
     """Build the batched ChEES-HMC transition.
+
+    Parameters
+    ----------
+    integrate_fn
+        Optional fused whole-trajectory integrator,
+        ``(q, p, step_size, num_steps) -> (q', p')`` over the chain batch
+        (e.g. :func:`aehmc_tpu.ops.fused_hmc.fused_logistic_hmc_tpu` bound to
+        its data).  When given it replaces the per-chain autodiff leapfrog
+        loop; final energies/gradients are recomputed with one batched
+        ``logprob_fn`` evaluation.
 
     Returns ``step(rng_key, states, step_size, num_integration_steps,
     inverse_mass_matrix) -> (ChainState, CheesInfo)`` where ``states`` has a
@@ -122,9 +133,37 @@ def new_kernel(
             return init, final, p_accept, diverging, new_energy, energy
 
         momentum_keys = jax.random.split(momentum_key, num_chains)
-        init, final, p_accept, diverging, new_energy, energy = jax.vmap(
-            propose
-        )(momentum_keys, states)
+        if integrate_fn is None:
+            init, final, p_accept, diverging, new_energy, energy = jax.vmap(
+                propose
+            )(momentum_keys, states)
+        else:
+            momenta = jax.vmap(momentum_generator)(momentum_keys)
+            init = IntegratorState(
+                position=states.position,
+                momentum=momenta,
+                potential_energy=states.potential_energy,
+                potential_energy_grad=states.potential_energy_grad,
+            )
+            q_final, p_final = integrate_fn(
+                states.position, momenta, step_size, num_integration_steps
+            )
+            final_u, final_grad = jax.vmap(
+                jax.value_and_grad(potential_fn)
+            )(q_final)
+            final = IntegratorState(
+                position=q_final,
+                momentum=-p_final,
+                potential_energy=final_u,
+                potential_energy_grad=final_grad,
+            )
+            ke_batch = jax.vmap(kinetic_energy_fn)
+            energy = init.potential_energy + ke_batch(init.momentum)
+            new_energy = final.potential_energy + ke_batch(final.momentum)
+            delta = energy - new_energy
+            delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+            diverging = jnp.abs(delta) > divergence_threshold
+            p_accept = jnp.clip(jnp.exp(delta), 0.0, 1.0)
 
         do_accept = jax.random.bernoulli(accept_key, p_accept, (num_chains,))
         pick = lambda n, o: jnp.where(  # noqa: E731
@@ -227,6 +266,7 @@ def warmup(
     max_num_integration_steps: int = 1024,
     learning_rate: float = 0.025,
     integrator: Callable = velocity_verlet,
+    integrate_fn: Callable = None,
     divergence_threshold: float = 1000.0,
 ) -> CheesWarmupResult:
     """Jointly adapt (step size, trajectory length, diag mass matrix).
@@ -235,7 +275,9 @@ def warmup(
     Adam ascent on ``log h`` with the ChEES gradient, pooled Welford windows
     for the diagonal inverse mass matrix (Stan schedule).
     """
-    kernel = new_kernel(logprob_fn, divergence_threshold, integrator)
+    kernel = new_kernel(
+        logprob_fn, divergence_threshold, integrator, integrate_fn
+    )
     da_init, da_update = dual_averaging_adaptation(target_acceptance_rate)
     mm_init, _, mm_final = covariance_adaptation(False)
     wc_update_batch = welford_update_batch(False)
@@ -364,6 +406,7 @@ def sample(
     *,
     max_num_integration_steps: int = 1024,
     integrator: Callable = velocity_verlet,
+    integrate_fn: Callable = None,
     divergence_threshold: float = 1000.0,
     collect_positions: bool = True,
 ):
@@ -372,7 +415,9 @@ def sample(
     Returns ``(final_states, positions, infos)`` with positions of shape
     (draws, chains, dim).
     """
-    kernel = new_kernel(logprob_fn, divergence_threshold, integrator)
+    kernel = new_kernel(
+        logprob_fn, divergence_threshold, integrator, integrate_fn
+    )
     dtype = states.position.dtype
 
     def one_step(carry, inputs):

@@ -79,9 +79,10 @@ def fused_logistic_hmc_reference(
     return q, p
 
 
-def _kernel(eps_ref, q_ref, p_ref, x_ref, xt_ref, y_ref, im_ref,
-            q_out, p_out, *, num_steps: int, prior_precision: float):
+def _kernel(eps_ref, nsteps_ref, q_ref, p_ref, x_ref, xt_ref, y_ref, im_ref,
+            q_out, p_out, *, prior_precision: float):
     eps = eps_ref[0]
+    num_steps = nsteps_ref[0]
     half = 0.5 * eps
     X = x_ref[:]
     XT = xt_ref[:]
@@ -112,7 +113,7 @@ def fused_logistic_hmc_tpu(
     y: jax.Array,
     inverse_mass: jax.Array,
     step_size: jax.Array,
-    num_steps: int,
+    num_steps,
     prior_precision: float = 1.0,
     block_chains: int = 256,
     interpret: bool = False,
@@ -132,13 +133,12 @@ def fused_logistic_hmc_tpu(
     grid = (num_chains // block_chains,)
 
     eps = jnp.asarray(step_size, q.dtype).reshape(1)
+    nsteps = jnp.asarray(num_steps, jnp.int32).reshape(1)
     y_row = y.reshape(1, num_points).astype(q.dtype)
     im_row = inverse_mass.reshape(1, dim).astype(q.dtype)
     XT = X.T
 
-    kernel = functools.partial(
-        _kernel, num_steps=num_steps, prior_precision=prior_precision
-    )
+    kernel = functools.partial(_kernel, prior_precision=prior_precision)
     block = lambda *shape: pl.BlockSpec(  # noqa: E731
         shape, (lambda i: (0,) * len(shape)), memory_space=pltpu.VMEM
     )
@@ -146,6 +146,7 @@ def fused_logistic_hmc_tpu(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (block_chains, dim), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -171,5 +172,5 @@ def fused_logistic_hmc_tpu(
             jax.ShapeDtypeStruct(p.shape, p.dtype),
         ],
         interpret=interpret,
-    )(eps, q, p, X, XT, y_row, im_row)
+    )(eps, nsteps, q, p, X, XT, y_row, im_row)
     return q_out, p_out
