@@ -66,11 +66,9 @@ def find_reasonable_step_size(
         _, info = kernel_step(subkey, state, step_size, inverse_mass_matrix)
         new_direction = jnp.where(
             info.acceptance_probability > target_accept, 1, -1
-        )
-        new_step_size = step_size * jnp.power(2.0, new_direction).astype(
-            step_size.dtype
-        )
-        return (i + 1, key, new_step_size, new_direction, direction)
+        ).astype(jnp.int32)
+        factor = jnp.where(new_direction > 0, 2.0, 0.5).astype(step_size.dtype)
+        return (i + 1, key, step_size * factor, new_direction, direction)
 
     step_size = jnp.asarray(initial_step_size)
     init = (jnp.asarray(0, jnp.int32), rng_key, step_size,

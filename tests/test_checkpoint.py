@@ -62,3 +62,16 @@ def test_resume_continues_bitwise(tmp_path):
     resumed = np.concatenate([np.asarray(pos_a2), np.asarray(pos_b2)])
 
     np.testing.assert_array_equal(full, resumed)
+
+
+def test_orbax_roundtrip_pytree(tmp_path):
+    """The Orbax path (directory target) restores sharded-capable pytrees."""
+    state = {
+        "position": jnp.arange(8.0).reshape(2, 4),
+        "step": jnp.asarray(7, jnp.int32),
+    }
+    path = str(tmp_path / "orbax_ckpt")
+    checkpoint.save(path, state)
+    restored = checkpoint.restore(path, jax.tree_util.tree_map(jnp.zeros_like, state))
+    np.testing.assert_array_equal(restored["position"], state["position"])
+    assert int(restored["step"]) == 7

@@ -82,3 +82,33 @@ def test_sample_one_call_mala():
     samples = np.asarray(result.positions)[2000:]
     assert abs(np.mean(samples) - 1.0) < 0.3
     assert abs(np.var(samples) - 4.0) < 1.2
+
+
+def test_multi_chain_wrapper():
+    from aehmc_tpu import nuts
+    from aehmc_tpu.sampling import multi_chain
+
+    logprob_fn = std_normal()
+    kernel = multi_chain(nuts.new_kernel(logprob_fn))
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    states = jax.vmap(lambda q: nuts.new_state(q, logprob_fn))(
+        jax.random.normal(jax.random.PRNGKey(1), (8, 3))
+    )
+    new_states, infos = kernel(keys, states, jnp.asarray(0.5), jnp.ones(3))
+    assert new_states.position.shape == (8, 3)
+    assert infos.acceptance_probability.shape == (8,)
+
+
+def test_find_reasonable_step_size():
+    from aehmc_tpu import nuts
+    from aehmc_tpu.step_size import find_reasonable_step_size
+
+    logprob_fn = normal(0.0, 0.05)  # tight target: eps=1.0 is far too big
+    kernel = nuts.new_kernel(logprob_fn)
+    state = nuts.new_state(jnp.asarray(0.0), logprob_fn)
+    eps = find_reasonable_step_size(
+        jax.random.PRNGKey(0), kernel, state, jnp.asarray(1.0),
+        initial_step_size=1.0,
+    )
+    assert float(eps) < 1.0  # shrank toward the stable region
+    assert float(eps) > 1e-4
