@@ -31,7 +31,7 @@ def new_kernel(
     max_num_expansions: int = 10,
     divergence_threshold: float = 1000.0,
     integrator: Callable = velocity_verlet,
-    paired_leaves: bool = False,
+    paired_leaves: bool = True,
 ) -> Callable:
     """Build an iterative NUTS transition kernel (ref nuts.py:17-155).
 
@@ -47,13 +47,11 @@ def new_kernel(
         Symplectic scheme factory (default velocity Verlet; see
         :mod:`aehmc_tpu.integrators`).
     paired_leaves
-        Opt into the two-leaves-per-iteration subtree loop: same semantics,
-        half the checkpoint bookkeeping per leaf at the cost of one extra
-        masked integrator step per subtree — a wash at shallow tree depths,
-        ~1.9x throughput on deep trees (Neal's funnel), but currently ~50x
-        slower to COMPILE (XLA chokes on the inlined pair+epilogue bodies),
-        so it is off by default; turn on for long-running deep-tree
-        workloads.  See trajectory.dynamic_integration_paired and PERF.md.
+        Use the two-leaves-per-iteration subtree loop (default): same
+        semantics, half the checkpoint bookkeeping per leaf at the cost of
+        one extra masked integrator step per subtree.  Faster at every tree
+        depth once checkpoint buffers stopped crossing doublings (PERF.md);
+        set False for the reference-shaped single-leaf loop.
 
     Returns
     -------
@@ -89,8 +87,10 @@ def new_kernel(
         trajectory_integrator = integration(
             symplectic_integrator,
             kinetic_energy_fn,
+            new_termination_state,
             update_termination_state,
             is_criterion_met,
+            max_num_expansions,
             divergence_threshold,
         )
         expand = multiplicative_expansion(
@@ -102,9 +102,6 @@ def new_kernel(
             momentum=momentum_generator(momentum_key),
             potential_energy=state.potential_energy,
             potential_energy_grad=state.potential_energy_grad,
-        )
-        initial_termination_state = new_termination_state(
-            initial_state.position, max_num_expansions
         )
         initial_energy = initial_state.potential_energy + kinetic_energy_fn(
             initial_state.momentum
@@ -123,7 +120,6 @@ def new_kernel(
             initial_state,
             initial_state,
             initial_state.momentum,
-            initial_termination_state,
             initial_energy,
             step_size,
         )

@@ -70,19 +70,29 @@ def static_integration(integrator: Callable, num_integration_steps) -> Callable:
 def dynamic_integration(
     integrator: Callable,
     kinetic_energy: Callable,
+    new_termination_state: Callable,
     update_termination_state: Callable,
     is_criterion_met: Callable,
+    max_num_doublings: int,
     divergence_threshold: float,
 ) -> Callable:
     """Integrate one NUTS subtree in one direction until it is complete,
     diverges, or makes a U-turn (ref trajectory.py:119-376).
 
+    The checkpoint buffers are allocated *fresh per subtree call*: within a
+    subtree every slot is written (at an even leaf) before it is read (at a
+    later odd leaf), so no content crosses doublings — the reference threads
+    one TerminationState through the whole expansion (ref trajectory.py:
+    520-535) but only its shape survives.  Keeping the buffers out of the
+    doubling-loop carry removes two (chains, K, dim)-sized masked selects
+    per doubling under vmap — the dominant cost in profiles (PERF.md).
+
     Returns
     -------
-    ``integrate(rng_key, previous_last_state, direction, termination_state,
-    max_num_steps, step_size, initial_energy)`` returning
-    ``(proposal, last_state, momentum_sum, termination_state,
-    trajectory_length, is_diverging, has_terminated)``.
+    ``integrate(rng_key, previous_last_state, direction, max_num_steps,
+    step_size, initial_energy)`` returning
+    ``(proposal, last_state, momentum_sum, trajectory_length, is_diverging,
+    has_terminated)``.
     """
     generate_proposal = proposal_generator(kinetic_energy, divergence_threshold)
     sample_proposal = progressive_uniform_sampling
@@ -91,11 +101,13 @@ def dynamic_integration(
         rng_key: jax.Array,
         previous_last_state: IntegratorState,
         direction: jax.Array,
-        termination_state: TerminationState,
         max_num_steps: jax.Array,
         step_size: jax.Array,
         initial_energy: jax.Array,
     ):
+        termination_state = new_termination_state(
+            previous_last_state.position, max_num_doublings
+        )
         # First leaf of the subtree, taken outside the loop: it seeds the
         # subtree's proposal and is never checked for a U-turn
         # (ref trajectory.py:276-284).
@@ -158,7 +170,7 @@ def dynamic_integration(
             proposal,
             last_state,
             momentum_sum,
-            termination_state,
+            _,
             is_diverging,
             has_terminated,
         ) = jax.lax.while_loop(cond_fn, body_fn, init_carry)
@@ -167,7 +179,6 @@ def dynamic_integration(
             proposal,
             last_state,
             momentum_sum,
-            termination_state,
             trajectory_length,
             is_diverging,
             has_terminated,
@@ -179,8 +190,10 @@ def dynamic_integration(
 def dynamic_integration_paired(
     integrator: Callable,
     kinetic_energy: Callable,
+    new_termination_state: Callable,
     update_termination_state: Callable,
     is_criterion_met: Callable,
+    max_num_doublings: int,
     divergence_threshold: float,
 ) -> Callable:
     """Semantically-equivalent variant of :func:`dynamic_integration` that
@@ -205,11 +218,14 @@ def dynamic_integration_paired(
         rng_key: jax.Array,
         previous_last_state: IntegratorState,
         direction: jax.Array,
-        termination_state: TerminationState,
         max_num_steps: jax.Array,
         step_size: jax.Array,
         initial_energy: jax.Array,
     ):
+        termination_state = new_termination_state(
+            previous_last_state.position, max_num_doublings
+        )
+
         def one_leaf(key, proposal, last_state, momentum_sum, step,
                      check: bool, term_state):
             """Integrate leaf ``step``; returns the post-leaf quantities."""
@@ -306,13 +322,6 @@ def dynamic_integration_paired(
             key_e, proposal, last_state, momentum_sum,
             max_num_steps - 1, True, termination_state,
         )
-        # the final leaf's write (if the step were even) is never read — every
-        # checkpoint consulted at a leaf was written earlier in the SAME
-        # subtree — so indices-only is safe here too
-        ts_e = update_termination_state(
-            termination_state, psum_e, state_e.momentum, max_num_steps - 1,
-            parity=1,
-        )
         do_epilogue = (max_num_steps >= 2) & ~is_diverging & ~has_terminated
         pick_e = lambda e, o: jax.tree_util.tree_map(  # noqa: E731
             lambda x, y: jnp.where(do_epilogue, x, y), e, o
@@ -320,7 +329,6 @@ def dynamic_integration_paired(
         proposal = pick_e(prop_e, proposal)
         last_state = pick_e(state_e, last_state)
         momentum_sum = pick_e(psum_e, momentum_sum)
-        termination_state = pick_e(ts_e, termination_state)
         length = jnp.where(do_epilogue, length + 1, length)
         is_diverging = jnp.where(do_epilogue, div_e, is_diverging)
         has_terminated = jnp.where(do_epilogue, term_e, has_terminated)
@@ -329,7 +337,6 @@ def dynamic_integration_paired(
             proposal,
             last_state,
             momentum_sum,
-            termination_state,
             length,
             is_diverging,
             has_terminated,
@@ -339,7 +346,10 @@ def dynamic_integration_paired(
 
 
 class ExpansionState(NamedTuple):
-    """Carry of the doubling loop; replaces the reference's 24 scan slots."""
+    """Carry of the doubling loop; replaces the reference's 24 scan slots.
+
+    Note there is no termination state here: checkpoint buffers live only
+    inside the subtree integrator (see :func:`dynamic_integration`)."""
 
     rng_key: jax.Array
     step: jax.Array
@@ -347,7 +357,6 @@ class ExpansionState(NamedTuple):
     left_state: IntegratorState
     right_state: IntegratorState
     momentum_sum: jax.Array
-    termination_state: TerminationState
     acceptance_probability: jax.Array
     num_integration_steps: jax.Array
     is_diverging: jax.Array
@@ -374,7 +383,6 @@ def multiplicative_expansion(
         left_state: IntegratorState,
         right_state: IntegratorState,
         momentum_sum: jax.Array,
-        termination_state: TerminationState,
         initial_energy: jax.Array,
         step_size: jax.Array,
     ) -> ExpansionState:
@@ -386,7 +394,6 @@ def multiplicative_expansion(
             left_state=left_state,
             right_state=right_state,
             momentum_sum=momentum_sum,
-            termination_state=termination_state,
             acceptance_probability=jnp.zeros((), dtype=dtype),
             num_integration_steps=jnp.asarray(0, dtype=jnp.int32),
             is_diverging=jnp.asarray(False),
@@ -419,7 +426,6 @@ def multiplicative_expansion(
                 new_proposal,
                 new_state,
                 subtree_momentum_sum,
-                new_termination_state,
                 subtrajectory_length,
                 is_diverging,
                 has_subtree_terminated,
@@ -427,7 +433,6 @@ def multiplicative_expansion(
                 subtree_key,
                 start_state,
                 direction,
-                s.termination_state,
                 jnp.left_shift(jnp.asarray(1, jnp.int32), s.step),
                 step_size,
                 initial_energy,
@@ -477,7 +482,6 @@ def multiplicative_expansion(
                 left_state=new_left_state,
                 right_state=new_right_state,
                 momentum_sum=new_momentum_sum,
-                termination_state=new_termination_state,
                 acceptance_probability=acceptance_probability,
                 num_integration_steps=s.num_integration_steps
                 + subtrajectory_length,

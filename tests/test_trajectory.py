@@ -56,8 +56,10 @@ def _setup_dynamic(step_size, max_num_steps=10, max_num_doublings=10):
     trajectory_integrator = dynamic_integration(
         integrator,
         kinetic_energy_fn,
+        new_criterion_state,
         update_criterion_state,
         is_criterion_met,
+        max_num_doublings,
         divergence_threshold=1000.0,
     )
 
@@ -70,12 +72,10 @@ def _setup_dynamic(step_size, max_num_steps=10, max_num_doublings=10):
     initial_energy = initial_state.potential_energy + kinetic_energy_fn(
         initial_state.momentum
     )
-    termination_state = new_criterion_state(position, max_num_doublings)
     return (
         trajectory_integrator,
         loop_key,
         initial_state,
-        termination_state,
         initial_energy,
     )
 
@@ -94,7 +94,6 @@ def test_dynamic_integration(case):
         trajectory_integrator,
         key,
         initial_state,
-        termination_state,
         initial_energy,
     ) = _setup_dynamic(step_size)
 
@@ -102,7 +101,6 @@ def test_dynamic_integration(case):
         proposal,
         last_state,
         momentum_sum,
-        term_state,
         length,
         is_diverging,
         has_terminated,
@@ -110,7 +108,6 @@ def test_dynamic_integration(case):
         key,
         initial_state,
         jnp.asarray(1.0),
-        termination_state,
         jnp.asarray(10),
         jnp.asarray(step_size),
         initial_energy,
@@ -126,19 +123,17 @@ def test_dynamic_integration_max_steps():
         trajectory_integrator,
         key,
         initial_state,
-        termination_state,
         initial_energy,
     ) = _setup_dynamic(1e-7)
     out = trajectory_integrator(
         key,
         initial_state,
         jnp.asarray(1.0),
-        termination_state,
         jnp.asarray(8),
         jnp.asarray(1e-7),
         initial_energy,
     )
-    trajectory_length = out[4]
+    trajectory_length = out[3]
     assert int(trajectory_length) == 8
 
 
@@ -159,8 +154,10 @@ def _setup_expansion(step_size, seed=59, max_num_expansions=10):
     trajectory_integrator = dynamic_integration(
         integrator,
         kinetic_energy_fn,
+        new_criterion_state,
         update_criterion_state,
         is_criterion_met,
+        max_num_expansions,
         divergence_threshold=1000.0,
     )
     expand = multiplicative_expansion(
@@ -179,8 +176,7 @@ def _setup_expansion(step_size, seed=59, max_num_expansions=10):
         weight=jnp.asarray(0.0),
         sum_log_p_accept=jnp.asarray(-jnp.inf),
     )
-    termination_state = new_criterion_state(state.position, max_num_expansions)
-    return expand, expansion_key, proposal, state, termination_state, energy
+    return expand, expansion_key, proposal, state, energy
 
 
 @pytest.mark.parametrize(
@@ -197,7 +193,6 @@ def test_multiplicative_expansion_regimes(step_size, should_diverge, should_turn
         key,
         proposal,
         state,
-        termination_state,
         energy,
     ) = _setup_expansion(step_size)
     result = jax.jit(expand)(
@@ -206,7 +201,6 @@ def test_multiplicative_expansion_regimes(step_size, should_diverge, should_turn
         state,
         state,
         state.momentum,
-        termination_state,
         energy,
         jnp.asarray(step_size),
     )
@@ -231,7 +225,6 @@ def test_expansion_counts_integration_steps():
         key,
         proposal,
         state,
-        termination_state,
         energy,
     ) = _setup_expansion(1e-7)
     result = expand(
@@ -240,7 +233,6 @@ def test_expansion_counts_integration_steps():
         state,
         state,
         state.momentum,
-        termination_state,
         energy,
         jnp.asarray(1e-7),
     )
