@@ -27,6 +27,7 @@ from aehmc_tpu import (  # noqa: F401
     checkpoint,
     chees,
     diagnostics,
+    ghmc,
     hmc,
     mala,
     integrators,
