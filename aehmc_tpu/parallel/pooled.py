@@ -127,11 +127,14 @@ def pooled_warmup(
     is_mass_matrix_full: bool = False,
     initial_step_size: float = 1.0,
     target_acceptance_rate: float = 0.8,
+    progress_every: int = 0,
 ) -> Tuple[ChainState, Tuple[jax.Array, jax.Array], Diagnostics]:
     """Warm up a batch of chains with shared, pooled-adapted parameters.
 
     ``kernel(key, state, step_size, inverse_mass_matrix)`` is single-chain;
-    ``initial_states`` is a ChainState with a leading chain axis.
+    ``initial_states`` is a ChainState with a leading chain axis.  Set
+    ``progress_every=N`` to stream a progress line (step, pooled acceptance,
+    divergent-chain count) every N warmup steps from inside the jitted scan.
     """
     init_adapt, update_adapt = pooled_window_adaptation(
         num_steps,
@@ -155,6 +158,10 @@ def pooled_warmup(
         new_adaptation_state = update_adapt(
             step, adaptation_state, new_states.position, infos
         )
+        if progress_every:
+            from aehmc_tpu.observability import progress_callback
+
+            progress_callback(step, infos, every=progress_every)
         return (key, new_states, new_adaptation_state), infos
 
     (_, states, adaptation_state), info_history = jax.lax.scan(

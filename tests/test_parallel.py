@@ -124,3 +124,19 @@ def test_sharded_statistically_matches_unsharded():
     assert float(res_sharded.step_size) == pytest.approx(
         float(res_single.step_size), rel=0.25
     )
+
+
+def test_pooled_warmup_progress_stream(capfd):
+    """progress_every streams lines from inside the jitted warmup scan."""
+    logprob_fn = std_normal()
+    kernel = nuts.new_kernel(logprob_fn)
+    states = jax.vmap(lambda q: nuts.new_state(q, logprob_fn))(
+        jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+    )
+    out = pooled_warmup(
+        jax.random.PRNGKey(1), kernel, states, num_steps=25, progress_every=10
+    )
+    jax.block_until_ready(out[1])
+    jax.effects_barrier()
+    err = capfd.readouterr().err
+    assert err.count("[aehmc_tpu] step") == 3  # steps 0, 10, 20
