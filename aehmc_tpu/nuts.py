@@ -108,7 +108,11 @@ def new_kernel(
         )
         # weight=0, sum_log_p_accept=-inf (ref nuts.py:120-125).
         initial_proposal = ProposalState(
-            state=initial_state,
+            state=ChainState(
+                position=initial_state.position,
+                potential_energy=initial_state.potential_energy,
+                potential_energy_grad=initial_state.potential_energy_grad,
+            ),
             energy=initial_energy,
             weight=jnp.zeros_like(initial_energy),
             sum_log_p_accept=jnp.full_like(initial_energy, -jnp.inf),
@@ -124,12 +128,7 @@ def new_kernel(
             step_size,
         )
 
-        final = result.proposal.state
-        new_chain_state = ChainState(
-            position=final.position,
-            potential_energy=final.potential_energy,
-            potential_energy_grad=final.potential_energy_grad,
-        )
+        new_chain_state = result.proposal.state
         info = Diagnostics(
             acceptance_probability=result.acceptance_probability,
             num_doublings=result.step,

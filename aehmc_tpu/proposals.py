@@ -20,7 +20,7 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
-from aehmc_tpu.types import IntegratorState, ProposalState
+from aehmc_tpu.types import ChainState, IntegratorState, ProposalState
 
 
 def proposal_generator(
@@ -42,7 +42,11 @@ def proposal_generator(
 
         return (
             ProposalState(
-                state=state,
+                state=ChainState(
+                    position=state.position,
+                    potential_energy=state.potential_energy,
+                    potential_energy_grad=state.potential_energy_grad,
+                ),
                 energy=new_energy,
                 weight=weight,
                 sum_log_p_accept=log_p_accept,

@@ -48,9 +48,17 @@ class ChainState(NamedTuple):
 
 
 class ProposalState(NamedTuple):
-    """A proposal plus its progressive-sampling bookkeeping."""
+    """A proposal plus its progressive-sampling bookkeeping.
 
-    state: IntegratorState
+    ``state`` is a :class:`ChainState` — unlike the reference (ref
+    proposals.py:11-15) the proposal does not carry a momentum: the total
+    energy is cached at generation time, so the momentum would be selected
+    through every progressive-sampling merge and never read.  Dropping it
+    removes one (chains, dim) array from every proposal select and loop
+    carry in the NUTS transition.
+    """
+
+    state: ChainState
     energy: Array
     weight: Array
     sum_log_p_accept: Array

@@ -170,8 +170,12 @@ def _setup_expansion(step_size, seed=59, max_num_expansions=10):
         potential_fn, position, momentum_generator(momentum_key)
     )
     energy = state.potential_energy + kinetic_energy_fn(state.momentum)
+    from aehmc_tpu.types import ChainState
+
     proposal = ProposalState(
-        state=state,
+        state=ChainState(
+            state.position, state.potential_energy, state.potential_energy_grad
+        ),
         energy=energy,
         weight=jnp.asarray(0.0),
         sum_log_p_accept=jnp.asarray(-jnp.inf),
