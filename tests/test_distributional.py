@@ -1,0 +1,106 @@
+"""Distributional gates: every sampler's thinned draws must pass a
+Kolmogorov-Smirnov test against the exact target CDF.
+
+Stronger than moment checks: KS is sensitive to shape errors (wrong
+tails, skew, multimodality artifacts).  MCMC draws are autocorrelated, so
+each chain is thinned to near-independence before testing; the significance
+level is conservative (p > 1e-3).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.stats as stats
+
+from aehmc_tpu import chees, ghmc, hmc, mala, nuts
+from aehmc_tpu.models import normal
+from aehmc_tpu.sampling import sample_loop
+
+LOC, SCALE = 1.0, 2.0
+
+
+def _ks_ok(samples, thin=20, alpha=1e-3):
+    thinned = np.asarray(samples).ravel()[::thin]
+    _, p = stats.kstest(thinned, "norm", args=(LOC, SCALE))
+    return p > alpha, p
+
+
+def test_nuts_ks():
+    logprob_fn = normal(LOC, SCALE)
+    kernel = nuts.new_kernel(logprob_fn)
+    state = nuts.new_state(jnp.asarray(0.0), logprob_fn)
+    bound = lambda k, s: kernel(k, s, jnp.asarray(1.0), jnp.asarray(4.0))  # noqa: E731
+    _, pos, _ = jax.jit(lambda k: sample_loop(k, bound, state, 20_000))(
+        jax.random.PRNGKey(0)
+    )
+    ok, p = _ks_ok(np.asarray(pos)[2000:], thin=5)
+    assert ok, f"NUTS KS p={p}"
+
+
+def test_hmc_ks():
+    logprob_fn = normal(LOC, SCALE)
+    kernel = hmc.new_kernel(logprob_fn)
+    state = hmc.new_state(jnp.asarray(0.0), logprob_fn)
+    bound = lambda k, s: kernel(  # noqa: E731
+        k, s, jnp.asarray(0.9), jnp.asarray(4.0), 8
+    )
+    _, pos, _ = jax.jit(lambda k: sample_loop(k, bound, state, 20_000))(
+        jax.random.PRNGKey(1)
+    )
+    ok, p = _ks_ok(np.asarray(pos)[2000:], thin=5)
+    assert ok, f"HMC KS p={p}"
+
+
+def test_mala_ks():
+    logprob_fn = normal(LOC, SCALE)
+    kernel = mala.new_kernel(logprob_fn)
+    state = mala.new_state(jnp.asarray(0.0), logprob_fn)
+    bound = lambda k, s: kernel(k, s, jnp.asarray(1.5), jnp.asarray(4.0))  # noqa: E731
+    _, pos, _ = jax.jit(lambda k: sample_loop(k, bound, state, 60_000))(
+        jax.random.PRNGKey(2)
+    )
+    ok, p = _ks_ok(np.asarray(pos)[5000:], thin=25)
+    assert ok, f"MALA KS p={p}"
+
+
+def test_ghmc_ks():
+    logprob_fn = normal(LOC, SCALE)
+    kernel = ghmc.new_kernel(logprob_fn)
+    state = ghmc.new_state(jax.random.PRNGKey(3), jnp.asarray(0.0), logprob_fn)
+
+    def one(carry, k):
+        s = carry
+        s, _ = kernel(k, s, jnp.asarray(1.0), jnp.asarray(0.9), jnp.asarray(4.0))
+        return s, s.position
+
+    keys = jax.random.split(jax.random.PRNGKey(4), 60_000)
+    _, pos = jax.jit(lambda ks: jax.lax.scan(one, state, ks))(keys)
+    ok, p = _ks_ok(np.asarray(pos)[5000:], thin=25)
+    assert ok, f"GHMC KS p={p}"
+
+
+def test_chees_ks():
+    logprob_fn = normal(LOC, SCALE)
+    num_chains = 64
+    keys = jax.random.split(jax.random.PRNGKey(5), num_chains)
+    qs = jax.vmap(lambda k: jax.random.normal(k, (), jnp.float64))(keys)
+    states = jax.vmap(lambda q: hmc.new_state(q, logprob_fn))(qs[:, None])
+    # chees operates on (chains, dim); use dim=1
+    result = jax.jit(
+        lambda k: chees.warmup(
+            k, lambda q: normal(LOC, SCALE)(q[0]), states, num_steps=200,
+            initial_step_size=0.2,
+        )
+    )(jax.random.PRNGKey(6))
+    _, pos, _ = chees.sample(
+        jax.random.PRNGKey(7),
+        lambda q: normal(LOC, SCALE)(q[0]),
+        result.states,
+        800,
+        result.step_size,
+        result.trajectory_length,
+        result.inverse_mass_matrix,
+    )
+    # many chains => thin across draws only lightly
+    ok, p = _ks_ok(np.asarray(pos)[200:], thin=7)
+    assert ok, f"ChEES KS p={p}"
