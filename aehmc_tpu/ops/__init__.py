@@ -11,6 +11,8 @@ from aehmc_tpu.ops.fused_hmc import (  # noqa: F401
     fused_logistic_hmc_reference,
     fused_logistic_hmc_tpu,
 )
+from aehmc_tpu.ops.nuts_fused import fused_nuts_transition  # noqa: F401
+from aehmc_tpu.ops.nuts_oracle import nuts_transition_oracle  # noqa: F401
 from aehmc_tpu.ops.leapfrog import (  # noqa: F401
     batched_leapfrog_reference,
     batched_leapfrog_tpu,
