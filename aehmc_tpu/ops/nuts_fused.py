@@ -399,3 +399,67 @@ def fused_nuts_transition(
         y_row,
         im_row,
     )
+
+
+def sample_fused_logistic(
+    rng_key: jax.Array,
+    X: jax.Array,
+    y: jax.Array,
+    initial_positions: jax.Array,
+    num_samples: int,
+    step_size: jax.Array,
+    inverse_mass: jax.Array,
+    max_num_expansions: int = 6,
+    divergence_threshold: float = 1000.0,
+    prior_precision: float = 1.0,
+    block_chains: int = 128,
+    collect_positions: bool = True,
+):
+    """Sampling loop over the fused transition (logistic-regression family).
+
+    Draws each transition's randomness with ``jax.random`` outside the
+    kernel; one ``lax.scan`` over draws.  Returns ``(final_positions,
+    positions, stats_history)`` where stats columns are
+    ``[energy, accept, doublings, leaves, diverging, turning]``.
+    """
+    num_chains, dim = initial_positions.shape
+    lmax = 2**max_num_expansions
+    mass_sqrt = jnp.sqrt(1.0 / inverse_mass)
+
+    def potential_and_grad(q):
+        logits = q @ X.T
+        sp = jnp.maximum(logits, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        loglik = jnp.sum(y[None, :] * logits - sp, axis=-1, keepdims=True)
+        u = -loglik + 0.5 * prior_precision * jnp.sum(
+            q * q, axis=-1, keepdims=True
+        )
+        resid = jax.nn.sigmoid(logits) - y[None, :]
+        g = resid @ X + prior_precision * q
+        return u, g
+
+    u0, g0 = potential_and_grad(initial_positions)
+
+    def one(carry, k):
+        q, u, g = carry
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        p = mass_sqrt * jax.random.normal(k1, (num_chains, dim), jnp.float32)
+        dirs = jnp.where(
+            jax.random.uniform(k2, (num_chains, max_num_expansions)) < 0.5,
+            -1.0,
+            1.0,
+        )
+        ub = jax.random.uniform(k3, (num_chains, max_num_expansions))
+        ul = jax.random.uniform(k4, (num_chains, lmax))
+        qn, un, gn, stats = fused_nuts_transition(
+            q, u, g, p, dirs, ub, ul, X, y, inverse_mass,
+            step_size, max_num_expansions, divergence_threshold,
+            prior_precision, block_chains,
+        )
+        out = qn if collect_positions else None
+        return (qn, un, gn), (out, stats)
+
+    keys = jax.random.split(rng_key, num_samples)
+    (qf, _, _), (positions, stats) = jax.lax.scan(
+        one, (initial_positions.astype(jnp.float32), u0, g0), keys
+    )
+    return qf, positions, stats

@@ -316,6 +316,56 @@ def chees_10k():
     )
 
 
+def nuts_fused_10k():
+    """Fused whole-transition NUTS Pallas kernel on the config-5 posterior
+    (experimental; exact-oracle-validated, see ops/nuts_fused.py)."""
+    import numpy as _np
+
+    from aehmc_tpu.ops.nuts_fused import sample_fused_logistic
+
+    dim, n_points, num_chains, num_draws = 100, 1000, 10_240, 100
+    rng = _np.random.default_rng(42)
+    X = jnp.asarray(
+        rng.normal(0, 1, size=(n_points, dim)) / _np.sqrt(dim), jnp.float32
+    )
+    tw = rng.normal(0, 1, size=dim)
+    lg_ = _np.asarray(X) @ tw
+    y = jnp.asarray(
+        (rng.uniform(size=n_points) < 1 / (1 + _np.exp(-lg_))).astype(
+            _np.float32
+        )
+    )
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
+    )
+    eps = jnp.asarray(0.5148, jnp.float32)
+    imm = jnp.full((dim,), 0.3386, jnp.float32)
+
+    f = jax.jit(
+        lambda k: sample_fused_logistic(k, X, y, q0, num_draws, eps, imm)
+    )
+    out = f(jax.random.PRNGKey(1))
+    jax.block_until_ready(out[1])
+    best = float("inf")
+    for r in range(3):
+        t0 = time.perf_counter()
+        out = f(jax.random.PRNGKey(2 + r))
+        jax.block_until_ready(out[1])
+        best = min(best, time.perf_counter() - t0)
+    stats = np.asarray(out[2])
+    evals = int(stats[:, :, 3].sum())
+    log(
+        f"nuts_fused: accept {stats[:, :, 1].mean():.3f}, "
+        f"div {int(stats[:, :, 4].sum())}"
+    )
+    _emit(
+        "nuts_fused_10k_chains_100d",
+        evals / best,
+        "grad_evals/s",
+        {"chains": num_chains},
+    )
+
+
 CONFIGS = {
     "readme_nuts": readme_nuts,
     "linreg_warmup": linreg_warmup,
@@ -323,6 +373,7 @@ CONFIGS = {
     "funnel": funnel,
     "logistic_10k": logistic_10k,
     "chees_10k": chees_10k,
+    "nuts_fused_10k": nuts_fused_10k,
 }
 
 

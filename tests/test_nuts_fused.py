@@ -90,3 +90,38 @@ def test_fused_nuts_extreme_step_no_nan():
     assert np.all(np.isfinite(stats))
     assert np.all(stats[:, 4] == 1.0)  # everything diverges
     assert np.all(stats[:, 2] == 1.0)  # after exactly one doubling
+
+
+def test_sample_fused_logistic_smoke():
+    """The sampling-loop wrapper runs end-to-end (interpret, tiny)."""
+    from aehmc_tpu.ops.nuts_fused import sample_fused_logistic
+
+    rng = np.random.default_rng(3)
+    dim, n_points, chains = 4, 16, 4
+    X = jnp.asarray(rng.normal(size=(n_points, dim)).astype(np.float32))
+    y = jnp.asarray((rng.uniform(size=n_points) < 0.5).astype(np.float32))
+    q0 = jnp.asarray(rng.normal(size=(chains, dim)).astype(np.float32)) * 0.1
+
+    # interpret path: route through the kernel wrapper with interpret=True
+    # by monkey-free small-scale TPU-free execution
+    import aehmc_tpu.ops.nuts_fused as nf
+
+    orig = nf.fused_nuts_transition
+
+    def interp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    nf.fused_nuts_transition = interp
+    try:
+        qf, pos, stats = sample_fused_logistic(
+            jax.random.PRNGKey(0), X, y, q0, 10,
+            jnp.asarray(0.2, jnp.float32), jnp.ones(dim, jnp.float32),
+            max_num_expansions=3, block_chains=chains,
+        )
+    finally:
+        nf.fused_nuts_transition = orig
+    assert pos.shape == (10, chains, dim)
+    stats = np.asarray(stats)
+    assert np.all(np.isfinite(stats))
+    assert np.all(stats[:, :, 3] >= 1)
