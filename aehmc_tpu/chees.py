@@ -77,11 +77,14 @@ def new_kernel(
     ----------
     integrate_fn
         Optional fused whole-trajectory integrator,
-        ``(q, p, step_size, num_steps) -> (q', p')`` over the chain batch
-        (e.g. :func:`aehmc_tpu.ops.fused_hmc.fused_logistic_hmc_tpu` bound to
-        its data).  When given it replaces the per-chain autodiff leapfrog
-        loop; final energies/gradients are recomputed with one batched
-        ``logprob_fn`` evaluation.
+        ``(q, p, step_size, num_steps, inverse_mass_matrix) -> (q', p')``
+        over the chain batch (e.g.
+        :func:`aehmc_tpu.ops.fused_hmc.fused_logistic_hmc_tpu` bound to its
+        data).  It receives the *current* inverse mass matrix so mass
+        adaptation stays consistent with the integrator.  When given it
+        replaces the per-chain autodiff leapfrog loop; final
+        energies/gradients are recomputed with one batched ``logprob_fn``
+        evaluation.
 
     Returns ``step(rng_key, states, step_size, num_integration_steps,
     inverse_mass_matrix) -> (ChainState, CheesInfo)`` where ``states`` has a
@@ -146,7 +149,8 @@ def new_kernel(
                 potential_energy_grad=states.potential_energy_grad,
             )
             q_final, p_final = integrate_fn(
-                states.position, momenta, step_size, num_integration_steps
+                states.position, momenta, step_size, num_integration_steps,
+                inverse_mass_matrix,
             )
             final_u, final_grad = jax.vmap(
                 jax.value_and_grad(potential_fn)

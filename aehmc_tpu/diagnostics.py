@@ -110,6 +110,11 @@ def effective_sample_size(
 
     mean_acov = jnp.mean(acov, axis=0)  # (N, ...)
     rho = 1.0 - (mean_var - mean_acov) / var_plus  # (N, ...)
+    # lag-0 autocorrelation is exactly 1 (Stan/arviz convention); without
+    # this the first paired sum is biased low and ESS high by O(1/N)
+    rho = jnp.concatenate(
+        [jnp.ones_like(rho[:1]), rho[1:]], axis=0
+    )
 
     # Paired sums P_t = rho_{2t} + rho_{2t+1}, t = 0..N//2-1.
     max_pairs = num_draws // 2

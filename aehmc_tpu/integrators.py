@@ -140,24 +140,3 @@ def yoshida(
         return IntegratorState(q, p, potential_energy, g)
 
     return one_step
-
-
-def static_integration_scan(
-    integrator: Callable, num_integration_steps: int
-) -> Callable:
-    """Integrate a fixed number of steps with ``lax.fori_loop``.
-
-    The trip count may be a traced value; only the final state is kept
-    (the reference stacks all intermediate states and takes the last —
-    ref trajectory.py:86-105 — which wastes HBM on accelerators).
-    """
-
-    def integrate(init_state: IntegratorState, step_size) -> IntegratorState:
-        def body(_, state):
-            return integrator(state, step_size)
-
-        return jax.lax.fori_loop(
-            0, jnp.asarray(num_integration_steps), body, init_state
-        )
-
-    return integrate

@@ -20,15 +20,10 @@ import jax.numpy as jnp
 
 from aehmc_tpu import hmc, mala, nuts
 from aehmc_tpu.algorithms import welford_update_batch
-from aehmc_tpu.mass_matrix import covariance_adaptation
 from aehmc_tpu.parallel.mesh import chain_sharding, make_mesh
 from aehmc_tpu.sampling import SampleResult
-from aehmc_tpu.step_size import dual_averaging_adaptation
 from aehmc_tpu.types import ChainState, Diagnostics
-from aehmc_tpu.window_adaptation import (
-    WindowAdaptationState,
-    build_schedule,
-)
+from aehmc_tpu.window_adaptation import window_adaptation
 
 
 def pooled_window_adaptation(
@@ -37,85 +32,28 @@ def pooled_window_adaptation(
     initial_step_size: float = 1.0,
     target_acceptance_rate: float = 0.8,
 ) -> Tuple[Callable, Callable]:
-    """(init, update) for warmup driven by pooled cross-chain statistics."""
-    mm_init, _, mm_final = covariance_adaptation(is_mass_matrix_full)
-    da_init, da_update = dual_averaging_adaptation(target_acceptance_rate)
+    """(init, update) for warmup driven by pooled cross-chain statistics.
+
+    The exact single-chain Stan-window state machine
+    (:func:`aehmc_tpu.window_adaptation.window_adaptation`) with its three
+    pooling hooks: mean acceptance across chains drives dual averaging, and
+    each step folds the whole chain batch into the Welford state with the
+    Chan parallel merge.
+    """
     wc_update_batch = welford_update_batch(is_mass_matrix_full)
-    schedule = build_schedule(num_steps)
-    schedule_stage = jnp.asarray([s[0] for s in schedule], dtype=jnp.int32)
-    schedule_middle_window = jnp.asarray([s[1] for s in schedule], dtype=bool)
-
-    def _new_da_state(step_size):
-        log_step_size = jnp.log(step_size)
-        state = da_init(jnp.log(10.0) + log_step_size)
-        return state._replace(iterates=log_step_size, iterates_avg=log_step_size)
-
-    def init(initial_states: ChainState) -> WindowAdaptationState:
-        positions = initial_states.position  # (chains, dim) or (chains,)
-        num_dims = 0 if positions.ndim == 1 else positions.shape[1]
-        dtype = positions.dtype
-        inverse_mass_matrix, wc_state = mm_init(num_dims, dtype=dtype)
-        step_size = jnp.asarray(initial_step_size, dtype=dtype)
-        return WindowAdaptationState(
-            da_state=_new_da_state(step_size),
-            wc_state=wc_state,
-            step_size=step_size,
-            inverse_mass_matrix=inverse_mass_matrix,
-        )
-
-    def update(
-        step: jax.Array,
-        state: WindowAdaptationState,
-        positions: jax.Array,
-        infos: Diagnostics,
-    ) -> WindowAdaptationState:
-        # Pooled acceptance statistic: one psum over the chain axis.
-        mean_acceptance = jnp.mean(infos.acceptance_probability)
-        new_da_state = da_update(mean_acceptance, state.da_state)
-        step_size = jnp.exp(new_da_state.iterates)
-
-        # Pooled covariance: fold the whole chain batch in at slow steps.
-        is_slow = jnp.equal(schedule_stage[step], 1)
-        batch = positions if positions.ndim > 0 else positions[None]
-        updated_wc = wc_update_batch(batch, state.wc_state)
-        new_wc_state = jax.tree_util.tree_map(
-            lambda s, k: jnp.where(is_slow, s, k), updated_wc, state.wc_state
-        )
-
-        updated = WindowAdaptationState(
-            da_state=new_da_state,
-            wc_state=new_wc_state,
-            step_size=step_size,
-            inverse_mass_matrix=state.inverse_mass_matrix,
-        )
-
-        # Middle-window end: recompute M^-1, reset Welford, re-init DA.
-        inverse_mass_matrix = mm_final(updated.wc_state)
-        num_dims = (
-            0 if inverse_mass_matrix.ndim == 0 else inverse_mass_matrix.shape[0]
-        )
-        _, fresh_wc = mm_init(num_dims, dtype=inverse_mass_matrix.dtype)
-        eps_now = jnp.exp(updated.da_state.iterates)
-        window_end = WindowAdaptationState(
-            da_state=_new_da_state(eps_now),
-            wc_state=fresh_wc,
-            step_size=eps_now,
-            inverse_mass_matrix=inverse_mass_matrix,
-        )
-        is_middle_window_end = schedule_middle_window[step]
-        updated = jax.tree_util.tree_map(
-            lambda w, u: jnp.where(is_middle_window_end, w, u),
-            window_end,
-            updated,
-        )
-
-        is_last_step = jnp.equal(step, num_steps - 1)
-        final_step_size = jnp.exp(updated.da_state.iterates_avg)
-        return updated._replace(
-            step_size=jnp.where(is_last_step, final_step_size, updated.step_size)
-        )
-
-    return init, update
+    return window_adaptation(
+        num_steps,
+        is_mass_matrix_full,
+        initial_step_size,
+        target_acceptance_rate,
+        welford_update_fn=wc_update_batch,
+        acceptance_statistic=lambda info: jnp.mean(
+            info.acceptance_probability
+        ),
+        num_dims_fn=lambda positions: (
+            0 if positions.ndim == 1 else positions.shape[1]
+        ),
+    )
 
 
 def pooled_warmup(

@@ -89,10 +89,10 @@ def sample(
 ) -> SampleResult:
     """Warmup + sampling in one call, on one chain or a batch of chains.
 
-    If ``initial_position`` has a leading chain axis of size C (i.e. it is 2-D,
-    or 1-D for a scalar model when ``chains`` semantics are intended, use
-    :func:`sample_chains` instead for explicit control), this runs one chain.
-    Pass tuned ``step_size``/``inverse_mass_matrix`` to skip warmup.
+    Runs one chain (use :func:`sample_chains` for a chain batch).  Passing
+    ``step_size`` and/or ``inverse_mass_matrix`` skips warmup and uses the
+    given value(s); a missing one takes its default
+    (``initial_step_size`` / identity).
     """
     if algorithm == "nuts":
         kernel = nuts.new_kernel(
@@ -113,33 +113,40 @@ def sample(
     warmup_key, sample_key = jax.random.split(rng_key)
     initial_state = hmc.new_state(initial_position, logprob_fn)
 
-    if step_size is None or inverse_mass_matrix is None:
-        if num_warmup > 0:
-            state, (eps, imm), _ = window_adaptation.run(
-                warmup_key,
-                kernel,
-                initial_state,
-                num_warmup,
-                is_mass_matrix_full=is_mass_matrix_full,
-                initial_step_size=initial_step_size,
-                target_acceptance_rate=target_acceptance_rate,
+    def _default_imm():
+        ndim = initial_position.ndim
+        if is_mass_matrix_full and ndim > 0:
+            return jnp.identity(
+                initial_position.shape[0], initial_position.dtype
             )
-        else:
-            state = initial_state
-            eps = jnp.asarray(initial_step_size, initial_position.dtype)
-            ndim = initial_position.ndim
-            if is_mass_matrix_full and ndim > 0:
-                imm = jnp.identity(
-                    initial_position.shape[0], initial_position.dtype
-                )
-            elif ndim > 0:
-                imm = jnp.ones_like(initial_position)
-            else:
-                imm = jnp.ones((), initial_position.dtype)
+        if ndim > 0:
+            return jnp.ones_like(initial_position)
+        return jnp.ones((), initial_position.dtype)
+
+    if step_size is None and inverse_mass_matrix is None and num_warmup > 0:
+        state, (eps, imm), _ = window_adaptation.run(
+            warmup_key,
+            kernel,
+            initial_state,
+            num_warmup,
+            is_mass_matrix_full=is_mass_matrix_full,
+            initial_step_size=initial_step_size,
+            target_acceptance_rate=target_acceptance_rate,
+        )
     else:
+        # Explicitly provided tuning parameters are always honored; a
+        # missing one falls back to its default.  (Passing either skips
+        # warmup.)
         state = initial_state
-        eps = jnp.asarray(step_size, initial_position.dtype)
-        imm = jnp.asarray(inverse_mass_matrix, initial_position.dtype)
+        eps = jnp.asarray(
+            initial_step_size if step_size is None else step_size,
+            initial_position.dtype,
+        )
+        imm = (
+            _default_imm()
+            if inverse_mass_matrix is None
+            else jnp.asarray(inverse_mass_matrix, initial_position.dtype)
+        )
 
     bound_kernel = lambda key, s: kernel(key, s, eps, imm)  # noqa: E731
     final_state, positions, infos = sample_loop(

@@ -56,7 +56,9 @@ def find_reasonable_step_size(
 
     def cond(carry):
         i, _, step_size, direction, previous_direction = carry
-        crossed = (direction != 0) & (direction != previous_direction)
+        # crossed only when two successive *nonzero* directions disagree
+        # (previous_direction starts at 0 before any step has been probed)
+        crossed = (previous_direction != 0) & (direction != previous_direction)
         finite = jnp.isfinite(step_size) & (step_size > 0)
         return (i < max_iters) & ~crossed & finite
 

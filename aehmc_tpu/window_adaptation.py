@@ -85,13 +85,31 @@ def window_adaptation(
     is_mass_matrix_full: bool = False,
     initial_step_size: float = 1.0,
     target_acceptance_rate: float = 0.8,
+    *,
+    welford_update_fn: Callable = None,
+    acceptance_statistic: Callable = None,
+    num_dims_fn: Callable = None,
 ) -> Tuple[Callable, Callable]:
     """Build ``(init, update)`` for the window-adaptation state machine.
 
-    Mirrors ref window_adaptation.py:119-227.
+    Mirrors ref window_adaptation.py:119-227.  The three keyword hooks let
+    pooled (cross-chain) adaptation reuse this exact state machine
+    (:func:`aehmc_tpu.parallel.pooled.pooled_window_adaptation`):
+    ``welford_update_fn(position_or_batch, wc_state)`` replaces the
+    single-sample Welford update, ``acceptance_statistic(info)`` reduces the
+    acceptance probabilities, ``num_dims_fn(position)`` extracts the model
+    dimension from a possibly chain-batched position.
     """
     mm_init, mm_update, mm_final = covariance_adaptation(is_mass_matrix_full)
     da_init, da_update = dual_averaging_adaptation(target_acceptance_rate)
+    if welford_update_fn is None:
+        welford_update_fn = mm_update
+    if acceptance_statistic is None:
+        acceptance_statistic = lambda info: info.acceptance_probability  # noqa: E731
+    if num_dims_fn is None:
+        num_dims_fn = lambda position: (  # noqa: E731
+            0 if position.ndim == 0 else position.shape[0]
+        )
     schedule = build_schedule(num_steps)
     schedule_stage = jnp.asarray([s[0] for s in schedule], dtype=jnp.int32)
     schedule_middle_window = jnp.asarray(
@@ -105,7 +123,7 @@ def window_adaptation(
 
     def init(initial_chain_state: ChainState) -> WindowAdaptationState:
         position = initial_chain_state.position
-        num_dims = 0 if position.ndim == 0 else position.shape[0]
+        num_dims = num_dims_fn(position)
         dtype = position.dtype
         inverse_mass_matrix, wc_state = mm_init(num_dims, dtype=dtype)
         step_size = jnp.asarray(initial_step_size, dtype=dtype)
@@ -145,11 +163,11 @@ def window_adaptation(
     ) -> WindowAdaptationState:
         """One adaptation step, dispatching on the precomputed schedule."""
         # Dual averaging runs every step; Welford only in slow windows.
-        new_da_state = da_update(info.acceptance_probability, state.da_state)
+        new_da_state = da_update(acceptance_statistic(info), state.da_state)
         step_size = jnp.exp(new_da_state.iterates)
 
         is_slow = jnp.equal(schedule_stage[step], 1)
-        updated_wc = mm_update(position, state.wc_state)
+        updated_wc = welford_update_fn(position, state.wc_state)
         new_wc_state = jax.tree_util.tree_map(
             lambda s, k: jnp.where(is_slow, s, k), updated_wc, state.wc_state
         )

@@ -131,8 +131,10 @@ def test_integrate_fn_override_matches_default():
         )
 
     imm = jnp.ones(dim)
-    integrate_fn = lambda q, p, eps, L: fused_logistic_hmc_reference(  # noqa: E731
-        q, p, X, y, imm, eps, L
+    integrate_fn = (  # noqa: E731
+        lambda q, p, eps, L, im: fused_logistic_hmc_reference(
+            q, p, X, y, im, eps, L
+        )
     )
 
     states = _init_states(logprob_fn, 16, dim)

@@ -110,5 +110,41 @@ def test_find_reasonable_step_size():
         jax.random.PRNGKey(0), kernel, state, jnp.asarray(1.0),
         initial_step_size=1.0,
     )
-    assert float(eps) < 1.0  # shrank toward the stable region
+    # must keep halving until near the stable region, not stop after one
+    # probe (regression: crossed-guard compared against the zero init)
+    assert float(eps) < 0.3
     assert float(eps) > 1e-4
+    eps_up = find_reasonable_step_size(
+        jax.random.PRNGKey(1), kernel, state, jnp.asarray(1.0),
+        initial_step_size=1e-5,
+    )
+    assert float(eps_up) > 4e-5  # doubled from a far-too-small start
+
+
+def test_sample_honors_partially_given_params():
+    # An explicitly passed step_size must never be silently discarded
+    # (regression: dropped unless inverse_mass_matrix was also given).
+    result = sample(
+        jax.random.PRNGKey(2),
+        std_normal(),
+        jnp.zeros(2),
+        num_samples=50,
+        num_warmup=0,
+        step_size=0.3,
+    )
+    assert abs(float(result.step_size) - 0.3) < 1e-9
+    np.testing.assert_array_equal(
+        np.asarray(result.inverse_mass_matrix), np.ones(2)
+    )
+
+    result = sample(
+        jax.random.PRNGKey(3),
+        std_normal(),
+        jnp.zeros(2),
+        num_samples=50,
+        num_warmup=100,  # warmup is skipped when params are pinned
+        inverse_mass_matrix=jnp.asarray([2.0, 0.5]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(result.inverse_mass_matrix), [2.0, 0.5]
+    )
