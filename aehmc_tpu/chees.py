@@ -182,8 +182,7 @@ def new_kernel(
         )
         # endpoint *velocity* (M^{-1} p, before the flip) drives the ChEES
         # gradient; the flip cancels in the dot product sign convention below.
-        _, kinetic_energy_fn2, _ = metrics.gaussian_metric(inverse_mass_matrix)
-        velocity = jax.vmap(jax.grad(kinetic_energy_fn2))(-final.momentum)
+        velocity = jax.vmap(jax.grad(kinetic_energy_fn))(-final.momentum)
 
         info = CheesInfo(
             acceptance_probability=p_accept,

@@ -31,7 +31,7 @@ def new_kernel(
 
     Returns ``step(rng_key, state, step_size, inverse_mass_matrix)
     -> (ChainState, Diagnostics)``; ``inverse_mass_matrix`` is a scalar or
-    diagonal preconditioner (M^{-1}).
+    diagonal preconditioner (M^{-1}) — dense matrices are rejected.
     """
     potential_vag = jax.value_and_grad(lambda q: -logprob_fn(q))
 
@@ -41,6 +41,11 @@ def new_kernel(
         step_size: jax.Array,
         inverse_mass_matrix: jax.Array,
     ) -> Tuple[ChainState, Diagnostics]:
+        if jnp.ndim(inverse_mass_matrix) > 1:
+            raise ValueError(
+                "MALA supports scalar or diagonal preconditioners only; got "
+                f"a {jnp.ndim(inverse_mass_matrix)}-d inverse mass matrix"
+            )
         noise_key, accept_key = jax.random.split(rng_key)
         eps2 = jnp.square(step_size)
         precond = inverse_mass_matrix

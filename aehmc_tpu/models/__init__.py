@@ -19,4 +19,5 @@ from aehmc_tpu.models.hierarchical import (  # noqa: F401
 from aehmc_tpu.models.regression import (  # noqa: F401
     linear_regression,
     logistic_regression,
+    logistic_regression_data,
 )

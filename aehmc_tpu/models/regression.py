@@ -47,6 +47,21 @@ def linear_regression(
     return logprob_fn, example_position
 
 
+def logistic_regression_data(
+    dim: int = 100, num_points: int = 1_000, seed: int = 42
+) -> Tuple[jax.Array, jax.Array]:
+    """The synthetic (X, y) dataset behind :func:`logistic_regression` —
+    exposed so benchmarks and fused kernels operate on the same posterior."""
+    rng = np.random.default_rng(seed)
+    X = rng.normal(0.0, 1.0, size=(num_points, dim)) / np.sqrt(dim)
+    true_w = rng.normal(0.0, 1.0, size=dim)
+    logits = X @ true_w
+    y = (rng.uniform(size=num_points) < 1.0 / (1.0 + np.exp(-logits))).astype(
+        np.float32
+    )
+    return jnp.asarray(X, dtype=jnp.float32), jnp.asarray(y, dtype=jnp.float32)
+
+
 def logistic_regression(
     dim: int = 100, num_points: int = 1_000, seed: int = 42
 ) -> Tuple[Callable, jax.Array]:
@@ -56,15 +71,7 @@ def logistic_regression(
     gradient is ``X^T (y - sigmoid(X w))``; vmapped over chains this is two
     ``(chains, points) x (points, dim)`` matmuls on the MXU.
     """
-    rng = np.random.default_rng(seed)
-    X = rng.normal(0.0, 1.0, size=(num_points, dim)) / np.sqrt(dim)
-    true_w = rng.normal(0.0, 1.0, size=dim)
-    logits = X @ true_w
-    y = (rng.uniform(size=num_points) < 1.0 / (1.0 + np.exp(-logits))).astype(
-        np.float32
-    )
-    X = jnp.asarray(X, dtype=jnp.float32)
-    y = jnp.asarray(y, dtype=jnp.float32)
+    X, y = logistic_regression_data(dim, num_points, seed)
 
     def logprob_fn(w):
         logits = X @ w

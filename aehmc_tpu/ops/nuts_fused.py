@@ -32,14 +32,14 @@ except Exception:  # pragma: no cover
 NEG_INF = -1e30  # VMEM-friendly stand-in for -inf in log-weights
 
 
-def _popcount_scalar(x, bits=12):
+def _popcount_scalar(x, bits=16):
     total = jnp.zeros_like(x)
     for k in range(bits):
         total = total + ((x >> k) & 1)
     return total
 
 
-def _trailing_ones_scalar(x, bits=12):
+def _trailing_ones_scalar(x, bits=16):
     # popcount(x ^ (x+1)) - 1
     return _popcount_scalar(x ^ (x + 1), bits) - 1
 
@@ -341,6 +341,8 @@ def fused_nuts_transition(
     num_points = X.shape[0]
     K = max_num_expansions
     lmax = 2**max_num_expansions
+    # the scalar bit helpers cover leaf indices < 2**15
+    assert max_num_expansions <= 14, "max_num_expansions > 14 unsupported"
     assert u_leaf.shape[1] >= lmax
     block_chains = min(block_chains, num_chains)
     assert num_chains % block_chains == 0

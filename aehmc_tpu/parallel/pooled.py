@@ -18,7 +18,7 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from aehmc_tpu import hmc, mala, nuts
+from aehmc_tpu import hmc
 from aehmc_tpu.algorithms import welford_update_batch
 from aehmc_tpu.parallel.mesh import chain_sharding, make_mesh
 from aehmc_tpu.sampling import SampleResult
@@ -137,21 +137,20 @@ def sample_sharded(
     mesh's ``chains`` axis; per-chain transitions need no communication, and
     the pooled-adaptation reductions become ICI collectives.
     """
-    if algorithm == "nuts":
-        kernel = nuts.new_kernel(
-            logprob_fn,
-            max_num_expansions=max_num_expansions,
-            divergence_threshold=divergence_threshold,
+    if algorithm == "mala" and is_mass_matrix_full:
+        raise ValueError(
+            "MALA supports scalar/diagonal preconditioners only; "
+            "is_mass_matrix_full=True is not compatible with algorithm='mala'"
         )
-    elif algorithm == "hmc":
-        base = hmc.new_kernel(logprob_fn, divergence_threshold)
-        kernel = lambda key, state, eps, imm: base(  # noqa: E731
-            key, state, eps, imm, num_integration_steps
-        )
-    elif algorithm == "mala":
-        kernel = mala.new_kernel(logprob_fn, divergence_threshold)
-    else:
-        raise ValueError(f"Unknown algorithm: {algorithm!r}")
+    from aehmc_tpu.sampling import make_kernel
+
+    kernel = make_kernel(
+        logprob_fn,
+        algorithm,
+        num_integration_steps=num_integration_steps,
+        max_num_expansions=max_num_expansions,
+        divergence_threshold=divergence_threshold,
+    )
 
     if mesh is None and len(jax.devices()) > 1:
         mesh = make_mesh()

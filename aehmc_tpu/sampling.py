@@ -70,6 +70,32 @@ def multi_chain(kernel: Callable) -> Callable:
     return vmapped
 
 
+def make_kernel(
+    logprob_fn: Callable,
+    algorithm: str = "nuts",
+    *,
+    num_integration_steps: int = 32,
+    max_num_expansions: int = 10,
+    divergence_threshold: float = 1000.0,
+) -> Callable:
+    """Build a NUTS-style transition ``kernel(key, state, eps, imm)`` for
+    the named algorithm ("nuts", "hmc", or "mala")."""
+    if algorithm == "nuts":
+        return nuts.new_kernel(
+            logprob_fn,
+            max_num_expansions=max_num_expansions,
+            divergence_threshold=divergence_threshold,
+        )
+    if algorithm == "hmc":
+        base = hmc.new_kernel(logprob_fn, divergence_threshold)
+        return lambda key, state, eps, imm: base(
+            key, state, eps, imm, num_integration_steps
+        )
+    if algorithm == "mala":
+        return mala.new_kernel(logprob_fn, divergence_threshold)
+    raise ValueError(f"Unknown algorithm: {algorithm!r}")
+
+
 def sample(
     rng_key: jax.Array,
     logprob_fn: Callable,
@@ -94,21 +120,18 @@ def sample(
     given value(s); a missing one takes its default
     (``initial_step_size`` / identity).
     """
-    if algorithm == "nuts":
-        kernel = nuts.new_kernel(
-            logprob_fn,
-            max_num_expansions=max_num_expansions,
-            divergence_threshold=divergence_threshold,
+    if algorithm == "mala" and is_mass_matrix_full:
+        raise ValueError(
+            "MALA supports scalar/diagonal preconditioners only; "
+            "is_mass_matrix_full=True is not compatible with algorithm='mala'"
         )
-    elif algorithm == "hmc":
-        base = hmc.new_kernel(logprob_fn, divergence_threshold)
-        kernel = lambda key, state, eps, imm: base(  # noqa: E731
-            key, state, eps, imm, num_integration_steps
-        )
-    elif algorithm == "mala":
-        kernel = mala.new_kernel(logprob_fn, divergence_threshold)
-    else:
-        raise ValueError(f"Unknown algorithm: {algorithm!r}")
+    kernel = make_kernel(
+        logprob_fn,
+        algorithm,
+        num_integration_steps=num_integration_steps,
+        max_num_expansions=max_num_expansions,
+        divergence_threshold=divergence_threshold,
+    )
 
     warmup_key, sample_key = jax.random.split(rng_key)
     initial_state = hmc.new_state(initial_position, logprob_fn)

@@ -1,7 +1,8 @@
 """The five BASELINE.md benchmark configs.
 
 Run:  python benchmarks/run.py [config ...]
-Configs: readme_nuts, linreg_warmup, mvn25_dense, funnel, logistic_10k, all
+Configs: readme_nuts, linreg_warmup, mvn25_dense, funnel, logistic_10k,
+chees_10k, nuts_fused_10k, all (nuts_fused_10k needs a real TPU)
 
 Each prints one JSON line per config (stdout); narration on stderr.
 ``bench.py`` at the repo root remains the driver's single headline metric.
@@ -319,22 +320,11 @@ def chees_10k():
 def nuts_fused_10k():
     """Fused whole-transition NUTS Pallas kernel on the config-5 posterior
     (experimental; exact-oracle-validated, see ops/nuts_fused.py)."""
-    import numpy as _np
-
+    from aehmc_tpu.models import logistic_regression_data
     from aehmc_tpu.ops.nuts_fused import sample_fused_logistic
 
     dim, n_points, num_chains, num_draws = 100, 1000, 10_240, 100
-    rng = _np.random.default_rng(42)
-    X = jnp.asarray(
-        rng.normal(0, 1, size=(n_points, dim)) / _np.sqrt(dim), jnp.float32
-    )
-    tw = rng.normal(0, 1, size=dim)
-    lg_ = _np.asarray(X) @ tw
-    y = jnp.asarray(
-        (rng.uniform(size=n_points) < 1 / (1 + _np.exp(-lg_))).astype(
-            _np.float32
-        )
-    )
+    X, y = logistic_regression_data(dim=dim, num_points=n_points)
     q0 = 0.1 * jax.random.normal(
         jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
     )

@@ -93,11 +93,11 @@ def test_nuts_divergence_flag():
     assert float(new_state.position) == 1.0  # proposal rejected
 
 
-def test_paired_leaves_statistically_equivalent():
-    """The opt-in paired subtree loop must sample the same posterior as
-    the default single-leaf loop."""
+def test_unpaired_leaves_statistically_equivalent():
+    """The single-leaf fallback (paired_leaves=False) must sample the same
+    posterior as the default paired loop."""
     (loc, scale, rho), logprob_fn = multivariate_normal_model()
-    kernel = nuts.new_kernel(logprob_fn, paired_leaves=True)
+    kernel = nuts.new_kernel(logprob_fn, paired_leaves=False)
     initial_state = nuts.new_state(jnp.zeros(2), logprob_fn)
     bound = lambda key, state: kernel(  # noqa: E731
         key, state, jnp.asarray(1.0), jnp.asarray(scale)

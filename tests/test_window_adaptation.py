@@ -77,11 +77,41 @@ def test_warmup_full_mass_matrix():
 
 
 def test_final_step_size_is_averaged_iterate():
-    """On the last step the returned step size switches to exp(x_avg)."""
-    logprob_fn = normal(0.0, 1.0)
-    kernel = nuts.new_kernel(logprob_fn)
-    initial_state = nuts.new_state(jnp.asarray(0.5), logprob_fn)
-    _, (eps, _), info = window_adaptation.run(
-        jax.random.PRNGKey(1), kernel, initial_state, num_steps=100
+    """On the last step the returned step size switches to exp(x_avg)
+    (ref window_adaptation.py:184-190), not exp(x)."""
+    from aehmc_tpu.types import Diagnostics
+
+    init_adapt, update_adapt = window_adaptation.window_adaptation(
+        num_steps=25
     )
-    assert np.isfinite(float(eps)) and float(eps) > 0.0
+    state = init_adapt(nuts.new_state(jnp.asarray(0.5), normal(0.0, 1.0)))
+
+    def info(p):
+        return Diagnostics(
+            acceptance_probability=jnp.asarray(p),
+            num_doublings=jnp.asarray(1, jnp.int32),
+            is_turning=jnp.asarray(False),
+            is_diverging=jnp.asarray(False),
+            energy=jnp.asarray(0.0),
+            num_integration_steps=jnp.asarray(1, jnp.int32),
+        )
+
+    # a few non-final updates drive iterates and iterates_avg apart
+    for step in range(5):
+        state = update_adapt(
+            jnp.asarray(step), state, jnp.asarray(0.5), info(0.2)
+        )
+    assert float(state.step_size) == pytest.approx(
+        float(jnp.exp(state.da_state.iterates))
+    )
+    assert not np.isclose(
+        float(state.da_state.iterates), float(state.da_state.iterates_avg)
+    )
+    # ... and the LAST step must return exp(iterates_avg)
+    final = update_adapt(jnp.asarray(24), state, jnp.asarray(0.5), info(0.2))
+    assert float(final.step_size) == pytest.approx(
+        float(jnp.exp(final.da_state.iterates_avg))
+    )
+    assert float(final.step_size) != pytest.approx(
+        float(jnp.exp(final.da_state.iterates))
+    )
