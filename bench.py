@@ -76,7 +76,11 @@ def bench_hmc_linear_regression(num_chains=1024, num_draws=100, L=1024):
 
 
 def main():
-    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    from aehmc_tpu.utils import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}, "
+        f"compile cache: {cache_dir}")
     evals_per_sec, elapsed, accept = bench_hmc_linear_regression()
     result = {
         "metric": "leapfrog_grad_evals_per_sec_per_chip",

@@ -368,6 +368,9 @@ CONFIGS = {
 
 
 def main():
+    from aehmc_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     names = sys.argv[1:] or ["all"]
     if names == ["all"]:
         names = list(CONFIGS)
