@@ -63,7 +63,8 @@ def test_nuts_standard_normal_moments():
 
 
 def test_nuts_dense_mass_matrix():
-    """Dense-metric NUTS on a correlated MVN recovers the mean."""
+    """Dense-metric NUTS on a correlated MVN passes the full MCSE gates
+    (the cholesky/einsum metric path, tier 4)."""
     (loc, scale, rho), logprob_fn = multivariate_normal_model()
     cov = np.diag(scale**2)
     cov[0, 1] = cov[1, 0] = rho * scale[0] * scale[1]
@@ -74,10 +75,10 @@ def test_nuts_dense_mass_matrix():
         key, state, jnp.asarray(0.7), jnp.asarray(cov)
     )
     _, positions, infos = jax.jit(
-        lambda key: sample_loop(key, bound, initial_state, 2000)
+        lambda key: sample_loop(key, bound, initial_state, 4000)
     )(jax.random.PRNGKey(3))
-    samples = np.asarray(positions)[500:]
-    np.testing.assert_allclose(np.mean(samples, axis=0), loc, atol=0.25)
+    samples = np.asarray(positions)[1000:]
+    assert_mcse_within_error(samples, loc, scale, rho)
     assert not np.any(np.asarray(infos.is_diverging))
 
 
