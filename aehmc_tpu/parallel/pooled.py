@@ -136,7 +136,65 @@ def sample_sharded(
     ``initial_positions``: (chains, dim) — the chain axis is sharded over the
     mesh's ``chains`` axis; per-chain transitions need no communication, and
     the pooled-adaptation reductions become ICI collectives.
+
+    ``algorithm`` may also be ``"chees"``: ChEES-HMC warmup + sampling
+    (shared jittered trajectory lengths; see :mod:`aehmc_tpu.chees`).
     """
+    if algorithm == "chees":
+        from aehmc_tpu import chees
+
+        if mesh is None and len(jax.devices()) > 1:
+            mesh = make_mesh()
+        if mesh is not None:
+            initial_positions = jax.device_put(
+                initial_positions, chain_sharding(mesh)
+            )
+
+        def chees_program(key, positions):
+            states = jax.vmap(lambda q: hmc.new_state(q, logprob_fn))(
+                positions
+            )
+            warmup_key, sample_key = jax.random.split(key)
+            result = chees.warmup(
+                warmup_key,
+                logprob_fn,
+                states,
+                num_steps=max(num_warmup, 1),
+                initial_step_size=initial_step_size,
+                divergence_threshold=divergence_threshold,
+            )
+            final_states, positions_out, (accept, nsteps) = chees.sample(
+                sample_key,
+                logprob_fn,
+                result.states,
+                num_samples,
+                result.step_size,
+                result.trajectory_length,
+                result.inverse_mass_matrix,
+                divergence_threshold=divergence_threshold,
+                collect_positions=collect_positions,
+            )
+            num_chains = positions.shape[0]
+            infos = Diagnostics(
+                acceptance_probability=accept,
+                num_doublings=jnp.zeros_like(nsteps),
+                is_turning=jnp.zeros(accept.shape, bool),
+                is_diverging=jnp.zeros(accept.shape, bool),
+                energy=jnp.zeros_like(accept),
+                num_integration_steps=jnp.broadcast_to(
+                    nsteps[:, None], accept.shape
+                ),
+            )
+            return SampleResult(
+                final_state=final_states,
+                positions=positions_out,
+                diagnostics=infos,
+                step_size=result.step_size,
+                inverse_mass_matrix=result.inverse_mass_matrix,
+            )
+
+        return jax.jit(chees_program)(rng_key, initial_positions)
+
     if algorithm == "mala" and is_mass_matrix_full:
         raise ValueError(
             "MALA supports scalar/diagonal preconditioners only; "

@@ -64,6 +64,9 @@ def report(name, result, rp_map, elapsed):
 
 
 def main():
+    from aehmc_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     print(f"backend: {jax.default_backend()}")
     logprob_fn, rp_map = make_model()
     q0 = jnp.zeros(2, jnp.float32)

@@ -140,3 +140,26 @@ def test_pooled_warmup_progress_stream(capfd):
     jax.effects_barrier()
     err = capfd.readouterr().err
     assert err.count("[aehmc_tpu] step") == 3  # steps 0, 10, 20
+
+
+def test_sample_sharded_chees():
+    """algorithm='chees' runs ChEES warmup + sampling through the unified
+    driver with the chain axis sharded."""
+    logprob_fn = std_normal()
+    init = jax.random.normal(jax.random.PRNGKey(9), (32, 3), jnp.float64)
+    result = sample_sharded(
+        jax.random.PRNGKey(10),
+        logprob_fn,
+        init,
+        num_samples=300,
+        num_warmup=150,
+        algorithm="chees",
+        mesh=make_mesh(),
+    )
+    assert result.positions.shape == (300, 32, 3)
+    samples = jnp.swapaxes(result.positions, 0, 1)
+    rhat = np.asarray(potential_scale_reduction(samples))
+    assert np.all(np.abs(rhat - 1.0) < 0.1)
+    pooled = np.asarray(samples).reshape(-1, 3)
+    np.testing.assert_allclose(pooled.mean(axis=0), 0.0, atol=0.15)
+    np.testing.assert_allclose(pooled.var(axis=0), 1.0, atol=0.25)
