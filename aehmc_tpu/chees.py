@@ -45,6 +45,20 @@ class CheesInfo(NamedTuple):
     energy: jax.Array
 
 
+class CheesSampleInfo(NamedTuple):
+    """Per-draw diagnostics stacked by :func:`sample`.
+
+    ``acceptance_probability``, ``is_diverging`` and ``energy`` are
+    (draws, chains); ``num_integration_steps`` is (draws,) — the trajectory
+    length is shared across chains by construction.
+    """
+
+    acceptance_probability: jax.Array
+    num_integration_steps: jax.Array
+    is_diverging: jax.Array
+    energy: jax.Array
+
+
 class AdamState(NamedTuple):
     m: jax.Array
     v: jax.Array
@@ -271,12 +285,16 @@ def warmup(
     integrator: Callable = velocity_verlet,
     integrate_fn: Callable = None,
     divergence_threshold: float = 1000.0,
+    search_initial_step_size: bool = True,
 ) -> CheesWarmupResult:
     """Jointly adapt (step size, trajectory length, diag mass matrix).
 
     One jitted scan: dual averaging on ``log eps`` (pooled mean acceptance),
     Adam ascent on ``log h`` with the ChEES gradient, pooled Welford windows
     for the diagonal inverse mass matrix (Stan schedule).
+    ``search_initial_step_size`` seeds both ``eps`` and the default
+    trajectory length from a Stan-style doubling/halving search on the
+    pooled single-leapfrog acceptance.
     """
     kernel = new_kernel(
         logprob_fn, divergence_threshold, integrator, integrate_fn
@@ -291,8 +309,6 @@ def warmup(
 
     num_chains, dim = initial_states.position.shape
     dtype = initial_states.position.dtype
-    if initial_trajectory_length is None:
-        initial_trajectory_length = 10.0 * initial_step_size
 
     def _new_da_state(step_size):
         log_eps = jnp.log(step_size)
@@ -302,6 +318,24 @@ def warmup(
 
     init_eps = jnp.asarray(initial_step_size, dtype)
     imm0, wc0 = mm_init(dim, dtype=dtype)
+
+    if search_initial_step_size:
+        from aehmc_tpu.step_size import find_reasonable_step_size
+
+        rng_key, search_key = jax.random.split(rng_key)
+        one_leapfrog = jnp.asarray(1, jnp.int32)
+        init_eps = find_reasonable_step_size(
+            search_key,
+            lambda key, s, eps, imm: kernel(key, s, eps, one_leapfrog, imm),
+            initial_states,
+            imm0,
+            initial_step_size=init_eps,
+            target_accept=target_acceptance_rate,
+            reduce_fn=jnp.mean,
+        )
+
+    if initial_trajectory_length is None:
+        initial_trajectory_length = 10.0 * init_eps
 
     def one_step(carry, step):
         key, states, da_state, adam_state, log_h, wc_state, imm = carry
@@ -416,7 +450,9 @@ def sample(
     """Sample with tuned parameters; trajectory length stays Halton-jittered.
 
     Returns ``(final_states, positions, infos)`` with positions of shape
-    (draws, chains, dim).
+    (draws, chains, dim) and ``infos`` a :class:`CheesSampleInfo` — the
+    per-chain divergence flags and energies the kernel computes are kept,
+    so production ChEES runs report divergences like every other sampler.
     """
     kernel = new_kernel(
         logprob_fn, divergence_threshold, integrator, integrate_fn
@@ -436,11 +472,17 @@ def sample(
             key, states, step_size, num_leapfrog, inverse_mass_matrix
         )
         out = new_states.position if collect_positions else None
-        return new_states, (out, info.acceptance_probability, info.num_integration_steps)
+        kept = CheesSampleInfo(
+            acceptance_probability=info.acceptance_probability,
+            num_integration_steps=info.num_integration_steps,
+            is_diverging=info.is_diverging,
+            energy=info.energy,
+        )
+        return new_states, (out, kept)
 
     keys = jax.random.split(rng_key, num_samples)
     steps = jnp.arange(num_samples, dtype=jnp.int32)
-    final_states, (positions, accept, nsteps) = jax.lax.scan(
+    final_states, (positions, infos) = jax.lax.scan(
         one_step, states, (steps, keys)
     )
-    return final_states, positions, (accept, nsteps)
+    return final_states, positions, infos

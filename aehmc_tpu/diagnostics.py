@@ -82,12 +82,14 @@ def _autocovariance_fft(x: jax.Array) -> jax.Array:
 
 
 def effective_sample_size(
-    samples: jax.Array, rank_normalized: bool = False
+    samples: jax.Array, rank_normalized: bool = True
 ) -> jax.Array:
     """Bulk effective sample size with Geyer's initial monotone sequence.
 
-    Matches the estimator used by Stan/arviz (which the reference's tests
-    call via arviz, ref tests/test_hmc.py:158-161).
+    Defaults to the rank-normalized *bulk ESS* of Vehtari et al. (2021) —
+    the estimator used by Stan/arviz (which the reference's tests call via
+    arviz, ref tests/test_hmc.py:158-161). Pass ``rank_normalized=False``
+    for the classic (non-rank) estimator on the raw draws.
 
     Parameters
     ----------
@@ -131,7 +133,30 @@ def effective_sample_size(
     # rho_0 = 1 is inside the first pair; tau = -1 + 2 * sum(P_t).
     tau = -1.0 + 2.0 * jnp.sum(contributions, axis=0)
     tau = jnp.maximum(tau, 1.0 / jnp.log10(num_chains * num_draws + 10.0))
-    return num_chains * num_draws / tau
+    ess = num_chains * num_draws / tau
+    # Degenerate chains (zero pooled variance, e.g. constant indicator
+    # functions from tail ESS) carry no information: report 0, not NaN.
+    return jnp.where(var_plus > 0.0, ess, 0.0)
+
+
+def tail_effective_sample_size(samples: jax.Array) -> jax.Array:
+    """Tail ESS of Vehtari et al. (2021): the minimum of the ESS of the
+    5%- and 95%-quantile indicator functions.
+
+    Bulk ESS measures sampling efficiency in the distribution's center;
+    tail ESS is the matching reliability measure for its tails (and is
+    immune to the antithetic-trajectory ESS inflation that can push bulk
+    estimates above the number of draws on short NUTS/ChEES chains).
+    """
+    samples = _validate(samples)
+    pooled = samples.reshape((-1,) + samples.shape[2:])
+    q05 = jnp.quantile(pooled, 0.05, axis=0)
+    q95 = jnp.quantile(pooled, 0.95, axis=0)
+    ind05 = (samples <= q05).astype(samples.dtype)
+    ind95 = (samples <= q95).astype(samples.dtype)
+    ess05 = effective_sample_size(ind05, rank_normalized=False)
+    ess95 = effective_sample_size(ind95, rank_normalized=False)
+    return jnp.minimum(ess05, ess95)
 
 
 def mcse(samples: jax.Array) -> Tuple[jax.Array, jax.Array]:

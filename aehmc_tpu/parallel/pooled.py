@@ -66,6 +66,7 @@ def pooled_warmup(
     initial_step_size: float = 1.0,
     target_acceptance_rate: float = 0.8,
     progress_every: int = 0,
+    search_initial_step_size: bool = True,
 ) -> Tuple[ChainState, Tuple[jax.Array, jax.Array], Diagnostics]:
     """Warm up a batch of chains with shared, pooled-adapted parameters.
 
@@ -73,6 +74,8 @@ def pooled_warmup(
     ``initial_states`` is a ChainState with a leading chain axis.  Set
     ``progress_every=N`` to stream a progress line (step, pooled acceptance,
     divergent-chain count) every N warmup steps from inside the jitted scan.
+    ``search_initial_step_size`` seeds dual averaging from a Stan-style
+    doubling/halving search on the *pooled* mean acceptance across chains.
     """
     init_adapt, update_adapt = pooled_window_adaptation(
         num_steps,
@@ -82,6 +85,24 @@ def pooled_warmup(
     )
     adaptation_state = init_adapt(initial_states)
     num_chains = initial_states.position.shape[0]
+
+    if search_initial_step_size:
+        from aehmc_tpu.step_size import find_reasonable_step_size
+
+        def batched_kernel(key, states, eps, imm):
+            keys = jax.random.split(key, num_chains)
+            return jax.vmap(lambda k, s: kernel(k, s, eps, imm))(keys, states)
+
+        rng_key, search_key = jax.random.split(rng_key)
+        found = find_reasonable_step_size(
+            search_key,
+            batched_kernel,
+            initial_states,
+            adaptation_state.inverse_mass_matrix,
+            initial_step_size=adaptation_state.step_size,
+            reduce_fn=jnp.mean,
+        )
+        adaptation_state = init_adapt(initial_states, found)
 
     def one_step(carry, step):
         key, states, adaptation_state = carry
@@ -128,6 +149,7 @@ def sample_sharded(
     is_mass_matrix_full: bool = False,
     initial_step_size: float = 1.0,
     target_acceptance_rate: float = 0.8,
+    search_initial_step_size: bool = True,
     mesh=None,
     collect_positions: bool = True,
 ) -> SampleResult:
@@ -162,8 +184,9 @@ def sample_sharded(
                 num_steps=max(num_warmup, 1),
                 initial_step_size=initial_step_size,
                 divergence_threshold=divergence_threshold,
+                search_initial_step_size=search_initial_step_size,
             )
-            final_states, positions_out, (accept, nsteps) = chees.sample(
+            final_states, positions_out, chees_info = chees.sample(
                 sample_key,
                 logprob_fn,
                 result.states,
@@ -174,15 +197,17 @@ def sample_sharded(
                 divergence_threshold=divergence_threshold,
                 collect_positions=collect_positions,
             )
-            num_chains = positions.shape[0]
+            accept = chees_info.acceptance_probability  # (draws, chains)
             infos = Diagnostics(
                 acceptance_probability=accept,
-                num_doublings=jnp.zeros_like(nsteps),
+                # ChEES has no tree: doublings/turning are structurally zero,
+                # broadcast per-chain so every field is (draws, chains).
+                num_doublings=jnp.zeros(accept.shape, jnp.int32),
                 is_turning=jnp.zeros(accept.shape, bool),
-                is_diverging=jnp.zeros(accept.shape, bool),
-                energy=jnp.zeros_like(accept),
+                is_diverging=chees_info.is_diverging,
+                energy=chees_info.energy,
                 num_integration_steps=jnp.broadcast_to(
-                    nsteps[:, None], accept.shape
+                    chees_info.num_integration_steps[:, None], accept.shape
                 ),
             )
             return SampleResult(
@@ -230,6 +255,7 @@ def sample_sharded(
                 is_mass_matrix_full=is_mass_matrix_full,
                 initial_step_size=initial_step_size,
                 target_acceptance_rate=target_acceptance_rate,
+                search_initial_step_size=search_initial_step_size,
             )
         else:
             dtype = positions.dtype

@@ -110,6 +110,7 @@ def sample(
     is_mass_matrix_full: bool = False,
     initial_step_size: float = 1.0,
     target_acceptance_rate: float = 0.8,
+    search_initial_step_size: bool = True,
     step_size: Optional[float] = None,
     inverse_mass_matrix: Optional[jax.Array] = None,
 ) -> SampleResult:
@@ -155,6 +156,7 @@ def sample(
             is_mass_matrix_full=is_mass_matrix_full,
             initial_step_size=initial_step_size,
             target_acceptance_rate=target_acceptance_rate,
+            search_initial_step_size=search_initial_step_size,
         )
     else:
         # Explicitly provided tuning parameters are always honored; a

@@ -46,16 +46,27 @@ def find_reasonable_step_size(
     initial_step_size: float = 1.0,
     target_accept: float = 0.65,
     max_iters: int = 32,
+    reduce_fn: Callable = None,
 ) -> jax.Array:
     """Double/halve the step size until the acceptance probability crosses
-    ``target_accept`` (Stan's init heuristic; new capability vs reference).
+    ``target_accept`` (Stan's init heuristic; new capability vs reference —
+    the reference always starts warmup from the user's ``initial_step_size``,
+    ref window_adaptation.py:17-24).
 
     ``kernel_step(key, state, step_size, inverse_mass_matrix)`` must return
-    ``(state, Diagnostics)``.
+    ``(state, info)`` with ``info.acceptance_probability``; pass
+    ``reduce_fn`` (e.g. ``jnp.mean``) to pool a chain-batched acceptance
+    into one scalar.
+
+    Returns the step size *at* the crossing — the first probed value whose
+    acceptance landed on the other side of ``target_accept`` — not one
+    doubling/halving beyond it.
     """
+    if reduce_fn is None:
+        reduce_fn = lambda a: a  # noqa: E731
 
     def cond(carry):
-        i, _, step_size, direction, previous_direction = carry
+        i, _, step_size, _, direction, previous_direction = carry
         # crossed only when two successive *nonzero* directions disagree
         # (previous_direction starts at 0 before any step has been probed)
         crossed = (previous_direction != 0) & (direction != previous_direction)
@@ -63,17 +74,25 @@ def find_reasonable_step_size(
         return (i < max_iters) & ~crossed & finite
 
     def body(carry):
-        i, key, step_size, direction, _ = carry
+        i, key, step_size, _, direction, _ = carry
         key, subkey = jax.random.split(key)
         _, info = kernel_step(subkey, state, step_size, inverse_mass_matrix)
-        new_direction = jnp.where(
-            info.acceptance_probability > target_accept, 1, -1
-        ).astype(jnp.int32)
+        accept = reduce_fn(info.acceptance_probability)
+        new_direction = jnp.where(accept > target_accept, 1, -1).astype(
+            jnp.int32
+        )
         factor = jnp.where(new_direction > 0, 2.0, 0.5).astype(step_size.dtype)
-        return (i + 1, key, step_size * factor, new_direction, direction)
+        return (i + 1, key, step_size * factor, step_size, new_direction,
+                direction)
 
     step_size = jnp.asarray(initial_step_size)
-    init = (jnp.asarray(0, jnp.int32), rng_key, step_size,
-            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-    _, _, step_size, _, _ = jax.lax.while_loop(cond, body, init)
-    return step_size
+    zero = jnp.asarray(0, jnp.int32)
+    init = (zero, rng_key, step_size, step_size, zero, zero)
+    _, _, last, probed, direction, previous_direction = jax.lax.while_loop(
+        cond, body, init
+    )
+    crossed = (previous_direction != 0) & (direction != previous_direction)
+    result = jnp.where(crossed, probed, last)
+    # If the search blew up (NaN/0 step size), fall back to the user's value.
+    ok = jnp.isfinite(result) & (result > 0)
+    return jnp.where(ok, result, step_size)

@@ -121,12 +121,19 @@ def window_adaptation(
         state = da_init(jnp.log(10.0) + log_step_size)
         return state._replace(iterates=log_step_size, iterates_avg=log_step_size)
 
-    def init(initial_chain_state: ChainState) -> WindowAdaptationState:
+    def init(
+        initial_chain_state: ChainState, step_size=None
+    ) -> WindowAdaptationState:
+        """``step_size`` (possibly traced) overrides ``initial_step_size`` —
+        used to seat the dual-averaging state at a searched value
+        (:func:`aehmc_tpu.step_size.find_reasonable_step_size`)."""
         position = initial_chain_state.position
         num_dims = num_dims_fn(position)
         dtype = position.dtype
         inverse_mass_matrix, wc_state = mm_init(num_dims, dtype=dtype)
-        step_size = jnp.asarray(initial_step_size, dtype=dtype)
+        step_size = jnp.asarray(
+            initial_step_size if step_size is None else step_size, dtype=dtype
+        )
         return WindowAdaptationState(
             da_state=_new_da_state(step_size),
             wc_state=wc_state,
@@ -208,6 +215,7 @@ def run(
     is_mass_matrix_full: bool = False,
     initial_step_size: float = 1.0,
     target_acceptance_rate: float = 0.8,
+    search_initial_step_size: bool = True,
 ) -> Tuple[ChainState, Tuple[jax.Array, jax.Array], Diagnostics]:
     """Run the full warmup as one jitted scan (ref window_adaptation.py:17-116).
 
@@ -217,6 +225,12 @@ def run(
         NUTS-style transition,
         ``kernel(key, state, step_size, inverse_mass_matrix)``.
         For HMC close over ``num_integration_steps``.
+    search_initial_step_size
+        Start dual averaging from a Stan-style doubling/halving search
+        (:func:`aehmc_tpu.step_size.find_reasonable_step_size`) seeded at
+        ``initial_step_size``, so badly-scaled posteriors warm up from the
+        default init (the reference always starts blind from the user's
+        value, ref window_adaptation.py:17-24).
 
     Returns
     -------
@@ -229,6 +243,18 @@ def run(
         target_acceptance_rate,
     )
     adaptation_state = init_adapt(initial_state)
+    if search_initial_step_size:
+        from aehmc_tpu.step_size import find_reasonable_step_size
+
+        rng_key, search_key = jax.random.split(rng_key)
+        found = find_reasonable_step_size(
+            search_key,
+            kernel,
+            initial_state,
+            adaptation_state.inverse_mass_matrix,
+            initial_step_size=adaptation_state.step_size,
+        )
+        adaptation_state = init_adapt(initial_state, found)
 
     def one_step(carry, step):
         key, chain_state, adaptation_state = carry

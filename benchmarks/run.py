@@ -30,13 +30,53 @@ def _emit(name, value, unit, extra=None):
     print(json.dumps(rec), flush=True)
 
 
-def _ess_per_sec(positions, elapsed):
-    """positions: (draws, chains, dim) or (draws, chains)."""
-    from aehmc_tpu.diagnostics import effective_sample_size
+MIN_DRAWS_PER_CHAIN = 200
+TIMED_RUNS = 5
 
-    samples = jnp.swapaxes(positions, 0, 1)
-    ess = np.asarray(effective_sample_size(samples))
-    return float(np.sum(ess) / elapsed), float(np.min(ess))
+
+def _ess_per_sec(positions, elapsed):
+    """positions: (draws, chains, dim) or (draws, chains).
+
+    Hardened protocol (round 2): rank-normalized bulk ESS and tail ESS per
+    dimension; reported ESS is sum over dims of min(bulk, tail), capped at
+    the total draw count chains*draws with a ``capped`` flag when any raw
+    estimate exceeded it (antithetic trajectories inflate bulk ESS on short
+    chains). Requires >= 200 draws/chain for a stable Geyer estimate.
+    """
+    from aehmc_tpu.diagnostics import (
+        effective_sample_size,
+        tail_effective_sample_size,
+    )
+
+    samples = jnp.swapaxes(positions, 0, 1)  # (chains, draws, ...)
+    chains, draws = samples.shape[0], samples.shape[1]
+    if draws < MIN_DRAWS_PER_CHAIN:
+        raise ValueError(
+            f"ESS protocol requires >= {MIN_DRAWS_PER_CHAIN} draws/chain, "
+            f"got {draws}"
+        )
+    bulk = np.asarray(effective_sample_size(samples))
+    tail = np.asarray(tail_effective_sample_size(samples))
+    ess = np.minimum(bulk, tail)
+    n_total = chains * draws
+    capped = bool(np.any(ess > n_total))
+    ess = np.minimum(ess, n_total)
+    return float(np.sum(ess) / elapsed), float(np.min(ess)), capped
+
+
+def _median_time(fn, runs=TIMED_RUNS):
+    """Median wall time of ``runs`` post-warmup executions of ``fn(run_idx)``.
+
+    Returns (median_seconds, last_output). fn must block on its own output.
+    """
+    times = []
+    out = None
+    for r in range(runs):
+        t0 = time.perf_counter()
+        out = fn(r)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), out
 
 
 def readme_nuts():
@@ -55,11 +95,13 @@ def readme_nuts():
     run = jax.jit(lambda key: sample_loop(key, bound, state, 100))
     out = run(jax.random.PRNGKey(0))
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = run(jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    _emit("readme_nuts_100_steps", dt * 1e3, "ms", {"draws_per_sec": round(100 / dt)})
+    dt, _ = _median_time(lambda r: run(jax.random.PRNGKey(1 + r)))
+    _emit(
+        "readme_nuts_100_steps",
+        dt * 1e3,
+        "ms",
+        {"draws_per_sec": round(100 / dt), "runs": TIMED_RUNS, "stat": "median"},
+    )
 
 
 def linreg_warmup():
@@ -79,17 +121,20 @@ def linreg_warmup():
     )
     out = run(jax.random.PRNGKey(0))
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    _, (eps, imm), info = run(jax.random.PRNGKey(1))
-    jax.block_until_ready(eps)
-    dt = time.perf_counter() - t0
+    dt, (_, (eps, imm), info) = _median_time(
+        lambda r: run(jax.random.PRNGKey(1 + r))
+    )
     evals = int(np.sum(np.asarray(info.num_integration_steps)))
     log(f"linreg warmup: eps={float(eps):.4f} imm={np.asarray(imm)} evals={evals}")
     _emit(
         "linreg_window_adaptation_1000",
         dt,
         "s",
-        {"grad_evals_per_sec": round(evals / dt)},
+        {
+            "grad_evals_per_sec": round(evals / dt),
+            "runs": TIMED_RUNS,
+            "stat": "median",
+        },
     )
 
 
@@ -124,18 +169,23 @@ def mvn25_dense():
     jitted = jax.jit(run)
     out = jitted(jax.random.PRNGKey(0))
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    pos, steps = jitted(jax.random.PRNGKey(1))
-    jax.block_until_ready(pos)
-    dt = time.perf_counter() - t0
-    ess_sec, min_ess = _ess_per_sec(jnp.swapaxes(pos, 0, 1), dt)
+    dt, (pos, steps) = _median_time(lambda r: jitted(jax.random.PRNGKey(1 + r)))
+    ess_sec, min_ess, capped = _ess_per_sec(jnp.swapaxes(pos, 0, 1), dt)
     evals = int(np.sum(np.asarray(steps)))
     log(f"mvn25: {evals} evals, min ESS {min_ess:.0f}")
     _emit(
         "mvn25_dense_nuts",
         ess_sec,
         "ESS/s",
-        {"grad_evals_per_sec": round(evals / dt), "chains": num_chains},
+        {
+            "grad_evals_per_sec": round(evals / dt),
+            "chains": num_chains,
+            "draws": num_draws,
+            "min_ess": round(min_ess),
+            "ess_capped": capped,
+            "runs": TIMED_RUNS,
+            "stat": "median",
+        },
     )
 
 
@@ -172,10 +222,9 @@ def funnel():
     jitted = jax.jit(run)
     out = jitted(jax.random.PRNGKey(0))
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    pos, steps, doublings = jitted(jax.random.PRNGKey(1))
-    jax.block_until_ready(pos)
-    dt = time.perf_counter() - t0
+    dt, (pos, steps, doublings) = _median_time(
+        lambda r: jitted(jax.random.PRNGKey(1 + r))
+    )
     evals = int(np.sum(np.asarray(steps)))
     log(
         f"funnel: mean depth {float(np.mean(np.asarray(doublings))):.1f}, "
@@ -185,7 +234,7 @@ def funnel():
         "neals_funnel_depth10",
         evals / dt,
         "grad_evals/s",
-        {"chains": num_chains},
+        {"chains": num_chains, "runs": TIMED_RUNS, "stat": "median"},
     )
 
 
@@ -203,7 +252,7 @@ def logistic_10k():
     from aehmc_tpu.parallel.pooled import pooled_warmup
     from aehmc_tpu.sampling import sample_loop
 
-    dim, num_chains, num_draws = 100, 10_240, 100
+    dim, num_chains, num_draws = 100, 10_240, 200
     logprob_fn, q0 = logistic_regression(dim=dim, num_points=1000)
     kernel = nuts.new_kernel(logprob_fn, max_num_expansions=8)
 
@@ -239,12 +288,9 @@ def logistic_10k():
     jitted = jax.jit(run)
     out = jitted(jax.random.PRNGKey(2))
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    pos, steps = jitted(jax.random.PRNGKey(3))
-    jax.block_until_ready(pos)
-    dt = time.perf_counter() - t0
+    dt, (pos, steps) = _median_time(lambda r: jitted(jax.random.PRNGKey(3 + r)))
     evals = int(np.sum(np.asarray(steps)))
-    ess_sec, min_ess = _ess_per_sec(jnp.swapaxes(pos, 0, 1), dt)
+    ess_sec, min_ess, capped = _ess_per_sec(jnp.swapaxes(pos, 0, 1), dt)
     log(f"logistic 10k chains: {evals:,} evals in {dt:.2f}s, min ESS {min_ess:.0f}")
     _emit(
         "logistic_10k_chains_100d",
@@ -253,7 +299,12 @@ def logistic_10k():
         {
             "ess_per_sec": round(ess_sec),
             "chains": num_chains,
+            "draws": num_draws,
+            "min_ess": round(min_ess),
+            "ess_capped": capped,
             "warmup_wall_s": round(warmup_wall, 1),
+            "runs": TIMED_RUNS,
+            "stat": "median",
         },
     )
 
@@ -265,7 +316,7 @@ def chees_10k():
     from aehmc_tpu import chees, hmc
     from aehmc_tpu.models import logistic_regression
 
-    dim, num_chains, num_draws = 100, 10_240, 100
+    dim, num_chains, num_draws = 100, 10_240, 200
     logprob_fn, q0 = logistic_regression(dim=dim, num_points=1000)
     keys = jax.random.split(jax.random.PRNGKey(0), num_chains)
     qs = jnp.tile(q0, (num_chains, 1)) + 0.1 * jax.vmap(
@@ -295,14 +346,15 @@ def chees_10k():
     )
     out = sampler(jax.random.PRNGKey(2))
     jax.block_until_ready(out[1])
-    t0 = time.perf_counter()
-    _, pos, (accept, nsteps) = sampler(jax.random.PRNGKey(3))
-    jax.block_until_ready(pos)
-    dt = time.perf_counter() - t0
-    evals = int(np.sum(np.asarray(nsteps))) * num_chains
-    ess_sec, min_ess = _ess_per_sec(pos, dt)
+    dt, (_, pos, info) = _median_time(
+        lambda r: sampler(jax.random.PRNGKey(3 + r))
+    )
+    accept = info.acceptance_probability
+    evals = int(np.sum(np.asarray(info.num_integration_steps))) * num_chains
+    ess_sec, min_ess, capped = _ess_per_sec(pos, dt)
     log(
         f"chees 10k: accept {float(np.mean(np.asarray(accept))):.3f}, "
+        f"div {int(np.sum(np.asarray(info.is_diverging)))}, "
         f"min ESS {min_ess:.0f}, warmup {warmup_wall:.1f}s"
     )
     _emit(
@@ -312,7 +364,12 @@ def chees_10k():
         {
             "ess_per_sec": round(ess_sec),
             "chains": num_chains,
+            "draws": num_draws,
+            "min_ess": round(min_ess),
+            "ess_capped": capped,
             "warmup_wall_s": round(warmup_wall, 1),
+            "runs": TIMED_RUNS,
+            "stat": "median",
         },
     )
 
@@ -336,12 +393,7 @@ def nuts_fused_10k():
     )
     out = f(jax.random.PRNGKey(1))
     jax.block_until_ready(out[1])
-    best = float("inf")
-    for r in range(3):
-        t0 = time.perf_counter()
-        out = f(jax.random.PRNGKey(2 + r))
-        jax.block_until_ready(out[1])
-        best = min(best, time.perf_counter() - t0)
+    dt, out = _median_time(lambda r: f(jax.random.PRNGKey(2 + r)))
     stats = np.asarray(out[2])
     evals = int(stats[:, :, 3].sum())
     log(
@@ -350,9 +402,9 @@ def nuts_fused_10k():
     )
     _emit(
         "nuts_fused_10k_chains_100d",
-        evals / best,
+        evals / dt,
         "grad_evals/s",
-        {"chains": num_chains},
+        {"chains": num_chains, "runs": TIMED_RUNS, "stat": "median"},
     )
 
 

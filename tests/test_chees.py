@@ -62,7 +62,7 @@ def test_warmup_adapts_towards_target_acceptance():
     )
 
     # with the tuned parameters the acceptance rate sits near 0.651
-    _, _, (accept, _) = chees.sample(
+    _, _, info = chees.sample(
         jax.random.PRNGKey(3),
         logprob_fn,
         result.states,
@@ -71,8 +71,13 @@ def test_warmup_adapts_towards_target_acceptance():
         result.trajectory_length,
         result.inverse_mass_matrix,
     )
-    mean_accept = float(np.mean(np.asarray(accept)))
+    mean_accept = float(np.mean(np.asarray(info.acceptance_probability)))
     assert 0.4 < mean_accept < 0.95
+    # divergence flags and energies are first-class sample outputs
+    assert info.is_diverging.shape == info.acceptance_probability.shape
+    assert info.energy.shape == info.acceptance_probability.shape
+    assert not bool(np.any(np.asarray(info.is_diverging)))
+    assert np.all(np.isfinite(np.asarray(info.energy)))
 
 
 def test_chees_statistical_correctness():

@@ -9,6 +9,7 @@ from aehmc_tpu.diagnostics import (
     effective_sample_size,
     mcse,
     potential_scale_reduction,
+    tail_effective_sample_size,
 )
 
 
@@ -77,6 +78,48 @@ def test_rank_normalized_variants_run():
     assert abs(r - 1.0) < 0.05
     e = float(effective_sample_size(jnp.asarray(samples), rank_normalized=True))
     assert e > 1000
+
+
+def test_tail_ess_iid_close_to_n():
+    samples = _iid_chains(chains=4, draws=4000)
+    n = samples.shape[0] * samples.shape[1]
+    tess = float(tail_effective_sample_size(jnp.asarray(samples)))
+    assert 0.5 * n < tess < 1.5 * n
+
+
+def test_tail_ess_detects_sticky_tails():
+    """An AR(1) chain has correlated tail excursions: tail ESS << N."""
+    rng = np.random.default_rng(7)
+    phi = 0.95
+    chains, draws = 4, 8000
+    x = np.zeros((chains, draws))
+    eps = rng.normal(size=(chains, draws)) * np.sqrt(1 - phi**2)
+    for t in range(1, draws):
+        x[:, t] = phi * x[:, t - 1] + eps[:, t]
+    n = chains * draws
+    tess = float(tail_effective_sample_size(jnp.asarray(x)))
+    assert tess < 0.25 * n
+
+
+def test_tail_ess_vectorized_over_dims():
+    samples = _iid_chains(dim=3)
+    tess = tail_effective_sample_size(jnp.asarray(samples))
+    assert tess.shape == (3,)
+    assert np.all(np.asarray(tess) > 500)
+
+
+def test_bulk_ess_default_is_rank_normalized():
+    """Heavy-tailed draws: classic ESS is dominated by outliers, the
+    rank-normalized default is stable. They must differ on Cauchy data."""
+    rng = np.random.default_rng(11)
+    samples = rng.standard_cauchy(size=(4, 2000))
+    bulk = float(effective_sample_size(jnp.asarray(samples)))
+    classic = float(
+        effective_sample_size(jnp.asarray(samples), rank_normalized=False)
+    )
+    n = 4 * 2000
+    assert 0.5 * n < bulk < 1.5 * n
+    assert bulk != classic
 
 
 def test_mcse_shrinks_with_n():
