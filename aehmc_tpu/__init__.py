@@ -30,6 +30,7 @@ from aehmc_tpu import (  # noqa: F401
     ghmc,
     hmc,
     mala,
+    meads,
     integrators,
     mass_matrix,
     metrics,

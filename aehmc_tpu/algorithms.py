@@ -7,6 +7,7 @@ merge that the single-chain reference has no use for but which powers
 cross-chain pooled adaptation on a TPU mesh (SURVEY.md §5).
 """
 
+import math
 from typing import Callable, Tuple
 
 import jax
@@ -135,6 +136,50 @@ def welford_merge(
     return merge
 
 
+def pairwise_sum(x: jax.Array, axis: int = 0) -> jax.Array:
+    """Sum along ``axis`` with a FIXED binary-tree order.
+
+    ``jnp.sum`` over a mesh-sharded axis reduces per-shard then combines, so
+    its floating-point rounding depends on the mesh shape.  Here each tree
+    level is an explicit elementwise add of array halves (zero-padded to a
+    power of two — exact in IEEE), so the summation order is a function of
+    the *logical* axis length only: pooled statistics become
+    bitwise-reproducible across mesh shapes (BASELINE.md determinism north
+    star; see tests/test_parallel.py).
+    """
+    x = jnp.moveaxis(x, axis, 0)
+    n = x.shape[0]
+    size = 1 << max(n - 1, 0).bit_length()
+    if size != n:
+        pad = jnp.zeros((size - n,) + x.shape[1:], x.dtype)
+        x = jnp.concatenate([x, pad], axis=0)
+    while x.shape[0] > 1:
+        x = x[0::2] + x[1::2]
+    return x[0]
+
+
+def pairwise_mean(x: jax.Array, axis: int = 0) -> jax.Array:
+    """Mean along ``axis`` via :func:`pairwise_sum` (mesh-shape-invariant)."""
+    return pairwise_sum(x, axis) / jnp.asarray(x.shape[axis], x.dtype)
+
+
+def _pairwise_outer_sum(centered: jax.Array, max_chunks: int = 128) -> jax.Array:
+    """``centered.T @ centered`` with a mesh-shape-invariant reduction order.
+
+    The chain axis is cut into at most ``max_chunks`` equal contiguous chunks
+    (a function of the logical chain count only); each chunk's Gram matrix is
+    a fixed-shape matmul, and the chunk results combine in a fixed pairwise
+    tree.  Chunks stay shard-local whenever the per-device chain count is a
+    multiple of the chunk size (true for power-of-two meshes and chain
+    counts), so no partial-matmul collectives reorder the arithmetic.
+    """
+    n, dim = centered.shape
+    num_chunks = math.gcd(n, max_chunks)
+    blocks = centered.reshape(num_chunks, n // num_chunks, dim)
+    partial = jnp.einsum("bci,bcj->bij", blocks, blocks)
+    return pairwise_sum(partial, axis=0)
+
+
 def welford_update_batch(
     compute_covariance: bool,
 ) -> Callable[[jax.Array, WelfordState], WelfordState]:
@@ -143,19 +188,22 @@ def welford_update_batch(
 
     Computes the batch's own moments with dense reductions (matmul on the MXU
     for the covariance case) and merges via :func:`welford_merge` — the
-    TPU-friendly alternative to looping the scalar update over chains.
+    TPU-friendly alternative to looping the scalar update over chains.  All
+    cross-chain reductions use fixed-tree pairwise order
+    (:func:`pairwise_sum`) so the tuned mass matrix is bitwise identical
+    across mesh shapes.
     """
     merge = welford_merge(compute_covariance)
 
     def update_batch(values: jax.Array, state: WelfordState) -> WelfordState:
         values = jnp.atleast_1d(values)
         batch = values.shape[0]
-        batch_mean = jnp.mean(values, axis=0)
+        batch_mean = pairwise_mean(values, axis=0)
         centered = values - batch_mean
         if compute_covariance and jnp.ndim(state.mean) > 0:
-            batch_m2 = centered.T @ centered
+            batch_m2 = _pairwise_outer_sum(centered)
         else:
-            batch_m2 = jnp.sum(centered * centered, axis=0)
+            batch_m2 = pairwise_sum(centered * centered, axis=0)
         batch_state = WelfordState(
             mean=batch_mean.astype(state.mean.dtype),
             m2=batch_m2.astype(state.m2.dtype),

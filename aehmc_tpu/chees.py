@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 
 from aehmc_tpu import metrics
-from aehmc_tpu.algorithms import welford_update_batch
+from aehmc_tpu.algorithms import (
+    pairwise_mean,
+    pairwise_sum,
+    welford_update_batch,
+)
 from aehmc_tpu.integrators import velocity_verlet
 from aehmc_tpu.mass_matrix import covariance_adaptation
 from aehmc_tpu.step_size import dual_averaging_adaptation
@@ -228,8 +232,10 @@ def _chees_gradient(
     alpha = info.acceptance_probability
     q = positions
     q_prop = info.proposed_position
-    q_mean = jnp.mean(q, axis=0)
-    q_prop_mean = jnp.mean(q_prop, axis=0)
+    # fixed-tree pairwise reductions over the chain axis: tuned trajectory
+    # lengths are bitwise mesh-shape-invariant
+    q_mean = pairwise_mean(q, axis=0)
+    q_prop_mean = pairwise_mean(q_prop, axis=0)
 
     delta_prop = q_prop - q_prop_mean
     delta = q - q_mean
@@ -238,8 +244,8 @@ def _chees_gradient(
 
     weights = jnp.where(jnp.isfinite(dchees_dt), alpha, 0.0)
     dchees_dt = jnp.where(jnp.isfinite(dchees_dt), dchees_dt, 0.0)
-    grad = jnp.sum(weights * dchees_dt) / jnp.maximum(
-        jnp.sum(weights), 1e-10
+    grad = pairwise_sum(weights * dchees_dt) / jnp.maximum(
+        pairwise_sum(weights), 1e-10
     )
     return grad * jitter
 
@@ -331,7 +337,7 @@ def warmup(
             imm0,
             initial_step_size=init_eps,
             target_accept=target_acceptance_rate,
-            reduce_fn=jnp.mean,
+            reduce_fn=pairwise_mean,
         )
 
     if initial_trajectory_length is None:
@@ -353,7 +359,7 @@ def warmup(
         new_states, info = kernel(step_key, states, eps, num_leapfrog, imm)
 
         # --- step size: dual averaging on pooled acceptance ---
-        mean_accept = jnp.mean(info.acceptance_probability)
+        mean_accept = pairwise_mean(info.acceptance_probability)
         new_da_state = da_update(mean_accept, da_state)
 
         # --- trajectory length: Adam ascent on the ChEES gradient ---

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from aehmc_tpu import hmc
-from aehmc_tpu.algorithms import welford_update_batch
+from aehmc_tpu.algorithms import pairwise_mean, welford_update_batch
 from aehmc_tpu.parallel.mesh import chain_sharding, make_mesh
 from aehmc_tpu.sampling import SampleResult
 from aehmc_tpu.types import ChainState, Diagnostics
@@ -47,7 +47,8 @@ def pooled_window_adaptation(
         initial_step_size,
         target_acceptance_rate,
         welford_update_fn=wc_update_batch,
-        acceptance_statistic=lambda info: jnp.mean(
+        # fixed-tree pairwise mean: tuned eps is bitwise mesh-shape-invariant
+        acceptance_statistic=lambda info: pairwise_mean(
             info.acceptance_probability
         ),
         num_dims_fn=lambda positions: (
@@ -100,7 +101,7 @@ def pooled_warmup(
             initial_states,
             adaptation_state.inverse_mass_matrix,
             initial_step_size=adaptation_state.step_size,
-            reduce_fn=jnp.mean,
+            reduce_fn=pairwise_mean,
         )
         adaptation_state = init_adapt(initial_states, found)
 
@@ -159,9 +160,45 @@ def sample_sharded(
     mesh's ``chains`` axis; per-chain transitions need no communication, and
     the pooled-adaptation reductions become ICI collectives.
 
-    ``algorithm`` may also be ``"chees"``: ChEES-HMC warmup + sampling
-    (shared jittered trajectory lengths; see :mod:`aehmc_tpu.chees`).
+    Beyond "nuts"/"hmc"/"mala"/"ghmc", ``algorithm`` may be:
+
+    - ``"chees"``: ChEES-HMC warmup + sampling (shared jittered trajectory
+      lengths; see :mod:`aehmc_tpu.chees`);
+    - ``"meads"``: tuning-free adaptive GHMC with cross-fold hyperparameter
+      estimation (see :mod:`aehmc_tpu.meads`); ``num_warmup`` is burn-in
+      only — adaptation is part of the kernel and continues while sampling.
     """
+    if algorithm == "meads":
+        from aehmc_tpu import meads
+
+        if mesh is None and len(jax.devices()) > 1:
+            mesh = make_mesh()
+        if mesh is not None:
+            initial_positions = jax.device_put(
+                initial_positions, chain_sharding(mesh)
+            )
+
+        def meads_program(key, positions):
+            final_states, positions_out, infos, hyper = meads.sample(
+                key,
+                logprob_fn,
+                positions,
+                num_samples,
+                num_warmup,
+                divergence_threshold=divergence_threshold,
+                collect_positions=collect_positions,
+            )
+            return SampleResult(
+                final_state=final_states,
+                positions=positions_out,
+                diagnostics=infos,
+                step_size=jnp.mean(hyper.step_size),
+                inverse_mass_matrix=jnp.mean(
+                    hyper.inverse_mass_matrix, axis=0
+                ),
+            )
+
+        return jax.jit(meads_program)(rng_key, initial_positions)
     if algorithm == "chees":
         from aehmc_tpu import chees
 
@@ -225,7 +262,7 @@ def sample_sharded(
             "MALA supports scalar/diagonal preconditioners only; "
             "is_mass_matrix_full=True is not compatible with algorithm='mala'"
         )
-    from aehmc_tpu.sampling import make_kernel
+    from aehmc_tpu.sampling import make_kernel, new_sampler_state
 
     kernel = make_kernel(
         logprob_fn,
@@ -244,8 +281,11 @@ def sample_sharded(
     num_chains = initial_positions.shape[0]
 
     def program(key, positions):
-        states = jax.vmap(lambda q: hmc.new_state(q, logprob_fn))(positions)
-        warmup_key, sample_key = jax.random.split(key)
+        init_key, warmup_key, sample_key = jax.random.split(key, 3)
+        init_keys = jax.random.split(init_key, num_chains)
+        states = jax.vmap(
+            lambda k, q: new_sampler_state(algorithm, k, q, logprob_fn)
+        )(init_keys, positions)
         if num_warmup > 0:
             states, (eps, imm), _ = pooled_warmup(
                 warmup_key,

@@ -57,6 +57,17 @@ def proposal_generator(
     return update
 
 
+def progressive_uniform_sampling_from_u(
+    u: jax.Array, proposal: ProposalState, new_proposal: ProposalState
+) -> ProposalState:
+    """:func:`progressive_uniform_sampling` with the uniform draw passed in
+    (externalized randomness for differential testing / fused kernels)."""
+    p_accept = jax.scipy.special.expit(new_proposal.weight - proposal.weight)
+    p_accept = jnp.where(jnp.isnan(p_accept), 0.0, p_accept)
+    do_accept = u < p_accept
+    return maybe_update_proposal(do_accept, proposal, new_proposal)
+
+
 def progressive_uniform_sampling(
     rng_key: jax.Array, proposal: ProposalState, new_proposal: ProposalState
 ) -> ProposalState:
@@ -64,9 +75,16 @@ def progressive_uniform_sampling(
 
     Used *inside* a subtree (ref proposals.py:72-102).
     """
-    p_accept = jax.scipy.special.expit(new_proposal.weight - proposal.weight)
-    p_accept = jnp.where(jnp.isnan(p_accept), 0.0, p_accept)
-    do_accept = jax.random.bernoulli(rng_key, p_accept)
+    u = jax.random.uniform(rng_key, dtype=proposal.weight.dtype)
+    return progressive_uniform_sampling_from_u(u, proposal, new_proposal)
+
+
+def progressive_biased_sampling_from_u(
+    u: jax.Array, proposal: ProposalState, new_proposal: ProposalState
+) -> ProposalState:
+    """:func:`progressive_biased_sampling` with the uniform draw passed in."""
+    p_accept = jnp.clip(jnp.exp(new_proposal.weight - proposal.weight), 0.0, 1.0)
+    do_accept = u < p_accept
     return maybe_update_proposal(do_accept, proposal, new_proposal)
 
 
@@ -78,9 +96,8 @@ def progressive_biased_sampling(
     Biases the transition away from the trajectory's initial state; used
     *across* doublings (ref proposals.py:105-134).
     """
-    p_accept = jnp.clip(jnp.exp(new_proposal.weight - proposal.weight), 0.0, 1.0)
-    do_accept = jax.random.bernoulli(rng_key, p_accept)
-    return maybe_update_proposal(do_accept, proposal, new_proposal)
+    u = jax.random.uniform(rng_key, dtype=proposal.weight.dtype)
+    return progressive_biased_sampling_from_u(u, proposal, new_proposal)
 
 
 def maybe_update_proposal(

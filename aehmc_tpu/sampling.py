@@ -18,7 +18,7 @@ from typing import Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from aehmc_tpu import hmc, mala, nuts, window_adaptation
+from aehmc_tpu import ghmc, hmc, mala, nuts, window_adaptation
 from aehmc_tpu.types import ChainState, Diagnostics
 
 
@@ -77,9 +77,16 @@ def make_kernel(
     num_integration_steps: int = 32,
     max_num_expansions: int = 10,
     divergence_threshold: float = 1000.0,
+    ghmc_alpha: float = 0.9,
 ) -> Callable:
     """Build a NUTS-style transition ``kernel(key, state, eps, imm)`` for
-    the named algorithm ("nuts", "hmc", or "mala")."""
+    the named algorithm ("nuts", "hmc", "mala", or "ghmc").
+
+    "ghmc" is the one-leapfrog persistent-momentum kernel with fixed
+    momentum retention ``ghmc_alpha``; its chain state carries a momentum
+    (build it with :func:`new_sampler_state`).  For *adaptive* GHMC use
+    ``algorithm="meads"`` in the drivers.
+    """
     if algorithm == "nuts":
         return nuts.new_kernel(
             logprob_fn,
@@ -93,7 +100,27 @@ def make_kernel(
         )
     if algorithm == "mala":
         return mala.new_kernel(logprob_fn, divergence_threshold)
+    if algorithm == "ghmc":
+        base = ghmc.new_kernel(logprob_fn, divergence_threshold)
+        alpha = jnp.asarray(ghmc_alpha)
+        return lambda key, state, eps, imm: base(key, state, eps, alpha, imm)
     raise ValueError(f"Unknown algorithm: {algorithm!r}")
+
+
+def new_sampler_state(
+    algorithm: str,
+    rng_key: jax.Array,
+    initial_position: jax.Array,
+    logprob_fn: Callable,
+):
+    """Initial chain state for the named algorithm.
+
+    GHMC carries a persistent momentum (needs a key); every other kernel
+    refreshes momentum per transition and starts from a plain ChainState.
+    """
+    if algorithm == "ghmc":
+        return ghmc.new_state(rng_key, initial_position, logprob_fn)
+    return hmc.new_state(initial_position, logprob_fn)
 
 
 def sample(
@@ -111,6 +138,7 @@ def sample(
     initial_step_size: float = 1.0,
     target_acceptance_rate: float = 0.8,
     search_initial_step_size: bool = True,
+    ghmc_alpha: float = 0.9,
     step_size: Optional[float] = None,
     inverse_mass_matrix: Optional[jax.Array] = None,
 ) -> SampleResult:
@@ -132,10 +160,13 @@ def sample(
         num_integration_steps=num_integration_steps,
         max_num_expansions=max_num_expansions,
         divergence_threshold=divergence_threshold,
+        ghmc_alpha=ghmc_alpha,
     )
 
-    warmup_key, sample_key = jax.random.split(rng_key)
-    initial_state = hmc.new_state(initial_position, logprob_fn)
+    init_key, warmup_key, sample_key = jax.random.split(rng_key, 3)
+    initial_state = new_sampler_state(
+        algorithm, init_key, initial_position, logprob_fn
+    )
 
     def _default_imm():
         ndim = initial_position.ndim

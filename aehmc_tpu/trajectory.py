@@ -37,8 +37,8 @@ import jax.numpy as jnp
 
 from aehmc_tpu.proposals import (
     ProposalState,
-    progressive_biased_sampling,
-    progressive_uniform_sampling,
+    progressive_biased_sampling_from_u,
+    progressive_uniform_sampling_from_u,
     proposal_generator,
 )
 from aehmc_tpu.types import IntegratorState, TerminationState
@@ -67,6 +67,17 @@ def static_integration(integrator: Callable, num_integration_steps) -> Callable:
     return integrate
 
 
+def _default_leaf_uniform(key: jax.Array, leaf_index: jax.Array) -> jax.Array:
+    """Per-leaf uniform for progressive sampling (default: fresh PRNG draw).
+
+    ``leaf_index`` is the global leaf index ``2**d - 1 + i`` for leaf ``i``
+    of doubling ``d`` — the static stream position an externalized override
+    (e.g. an oracle-comparison test or a fused kernel) reads instead.
+    """
+    del leaf_index
+    return jax.random.uniform(key)
+
+
 def dynamic_integration(
     integrator: Callable,
     kinetic_energy: Callable,
@@ -75,6 +86,7 @@ def dynamic_integration(
     is_criterion_met: Callable,
     max_num_doublings: int,
     divergence_threshold: float,
+    leaf_uniform_fn: Callable = _default_leaf_uniform,
 ) -> Callable:
     """Integrate one NUTS subtree in one direction until it is complete,
     diverges, or makes a U-turn (ref trajectory.py:119-376).
@@ -95,7 +107,6 @@ def dynamic_integration(
     has_terminated)``.
     """
     generate_proposal = proposal_generator(kinetic_energy, divergence_threshold)
-    sample_proposal = progressive_uniform_sampling
 
     def integrate(
         rng_key: jax.Array,
@@ -141,7 +152,10 @@ def dynamic_integration(
             new_proposal, is_diverging = generate_proposal(
                 initial_energy, new_state
             )
-            sampled_proposal = sample_proposal(sample_key, proposal, new_proposal)
+            u = leaf_uniform_fn(sample_key, (max_num_steps - 1) + step)
+            sampled_proposal = progressive_uniform_sampling_from_u(
+                u, proposal, new_proposal
+            )
 
             new_momentum_sum = momentum_sum + new_state.momentum
             # Check against the PRE-update buffers (equivalent: writes happen
@@ -195,6 +209,7 @@ def dynamic_integration_paired(
     is_criterion_met: Callable,
     max_num_doublings: int,
     divergence_threshold: float,
+    leaf_uniform_fn: Callable = _default_leaf_uniform,
 ) -> Callable:
     """Semantically-equivalent variant of :func:`dynamic_integration` that
     advances TWO leaves per loop iteration.
@@ -212,7 +227,6 @@ def dynamic_integration_paired(
     outweighed by the halved bookkeeping.
     """
     generate_proposal = proposal_generator(kinetic_energy, divergence_threshold)
-    sample_proposal = progressive_uniform_sampling
 
     def integrate(
         rng_key: jax.Array,
@@ -233,7 +247,10 @@ def dynamic_integration_paired(
             new_proposal, is_diverging = generate_proposal(
                 initial_energy, new_state
             )
-            sampled = sample_proposal(key, proposal, new_proposal)
+            u = leaf_uniform_fn(key, (max_num_steps - 1) + step)
+            sampled = progressive_uniform_sampling_from_u(
+                u, proposal, new_proposal
+            )
             new_momentum_sum = momentum_sum + new_state.momentum
             if check:
                 has_terminated = is_criterion_met(
@@ -364,18 +381,35 @@ class ExpansionState(NamedTuple):
     has_subtree_terminated: jax.Array
 
 
+def _default_direction(key: jax.Array, doubling: jax.Array) -> jax.Array:
+    """Go-right bit for a doubling (default: fresh Bernoulli(1/2) draw)."""
+    del doubling
+    return jax.random.bernoulli(key, 0.5)
+
+
+def _default_bias_uniform(key: jax.Array, doubling: jax.Array) -> jax.Array:
+    """Uniform for the biased across-doublings resample (default: PRNG)."""
+    del doubling
+    return jax.random.uniform(key)
+
+
 def multiplicative_expansion(
     trajectory_integrator: Callable,
     uturn_check_fn: Callable,
     max_num_expansions: int,
+    direction_fn: Callable = _default_direction,
+    bias_uniform_fn: Callable = _default_bias_uniform,
 ) -> Callable:
     """NUTS doubling loop (ref trajectory.py:396-714).
 
     At each doubling: draw a direction ~ Bernoulli(1/2), integrate a subtree
     of ``2**step`` leaves from that edge, merge, and stop on divergence,
     U-turn, or internal subtree termination.
+
+    ``direction_fn(key, doubling)`` / ``bias_uniform_fn(key, doubling)``
+    default to fresh PRNG draws; overriding them externalizes the
+    randomness (oracle differential tests, fused kernels).
     """
-    proposal_sampler = progressive_biased_sampling
 
     def expand(
         rng_key: jax.Array,
@@ -414,7 +448,7 @@ def multiplicative_expansion(
                 s.rng_key, 4
             )
 
-            do_go_right = jax.random.bernoulli(direction_key, 0.5)
+            do_go_right = direction_fn(direction_key, s.step)
             direction = jnp.where(do_go_right, 1.0, -1.0).astype(dtype)
             start_state = jax.tree_util.tree_map(
                 lambda r, l: jnp.where(do_go_right, r, l),
@@ -463,10 +497,13 @@ def multiplicative_expansion(
                     new_proposal.sum_log_p_accept, s.proposal.sum_log_p_accept
                 )
             )
+            u_bias = bias_uniform_fn(sample_key, s.step)
             sampled_proposal = where_proposal(
                 is_diverging | has_subtree_terminated,
                 updated_proposal,
-                proposal_sampler(sample_key, s.proposal, new_proposal),
+                progressive_biased_sampling_from_u(
+                    u_bias, s.proposal, new_proposal
+                ),
             )
 
             is_turning = uturn_check_fn(

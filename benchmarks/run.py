@@ -48,15 +48,31 @@ def _ess_per_sec(positions, elapsed):
         tail_effective_sample_size,
     )
 
-    samples = jnp.swapaxes(positions, 0, 1)  # (chains, draws, ...)
+    samples = np.swapaxes(np.asarray(positions), 0, 1)  # (chains, draws, ...)
     chains, draws = samples.shape[0], samples.shape[1]
     if draws < MIN_DRAWS_PER_CHAIN:
         raise ValueError(
             f"ESS protocol requires >= {MIN_DRAWS_PER_CHAIN} draws/chain, "
             f"got {draws}"
         )
-    bulk = np.asarray(effective_sample_size(samples))
-    tail = np.asarray(tail_effective_sample_size(samples))
+    # ESS is per-dimension independent: chunk the dim axis so the on-device
+    # rank-normalize/FFT never OOMs the chip on multi-GB draw arrays.
+    squeeze = samples.ndim == 2
+    if squeeze:
+        samples = samples[:, :, None]
+    num_dims = samples.shape[2]
+    chunk = max(1, min(num_dims, int(2e8 / (chains * draws * 4))))
+    bulk_parts, tail_parts = [], []
+    ess_bulk = jax.jit(effective_sample_size)
+    ess_tail = jax.jit(tail_effective_sample_size)
+    for lo in range(0, num_dims, chunk):
+        part = jnp.asarray(samples[:, :, lo : lo + chunk])
+        bulk_parts.append(np.asarray(ess_bulk(part)))
+        tail_parts.append(np.asarray(ess_tail(part)))
+    bulk = np.concatenate(bulk_parts)
+    tail = np.concatenate(tail_parts)
+    if squeeze:
+        bulk, tail = bulk[0], tail[0]
     ess = np.minimum(bulk, tail)
     n_total = chains * draws
     capped = bool(np.any(ess > n_total))
@@ -374,6 +390,70 @@ def chees_10k():
     )
 
 
+def meads_10k():
+    """MEADS on the config-5 posterior: tuning-free adaptive GHMC — one
+    leapfrog per transition, zero per-chain control flow, hyperparameters
+    re-estimated cross-fold every iteration (see aehmc_tpu/meads.py)."""
+    from aehmc_tpu import meads
+    from aehmc_tpu.models import logistic_regression
+
+    dim, num_chains, num_draws = 100, 10_240, 500
+    logprob_fn, q0 = logistic_regression(dim=dim, num_points=1000)
+    keys = jax.random.split(jax.random.PRNGKey(0), num_chains)
+    qs = jnp.tile(q0, (num_chains, 1)) + 0.1 * jax.vmap(
+        lambda k: jax.random.normal(k, (dim,), jnp.float32)
+    )(keys)
+
+    t0 = time.perf_counter()
+    warm = jax.jit(
+        lambda k: meads.sample(
+            k, logprob_fn, qs, num_samples=1, num_warmup=500
+        )
+    )(jax.random.PRNGKey(1))
+    jax.block_until_ready(warm[0].position)
+    warmup_wall = time.perf_counter() - t0
+    states = warm[0]
+
+    def draws_only(key, states):
+        kernel = meads.new_kernel(logprob_fn)
+
+        def one(states, k):
+            new_states, infos, _ = kernel(k, states)
+            return new_states, (new_states.position,
+                                infos.acceptance_probability)
+
+        ks = jax.random.split(key, num_draws)
+        return jax.lax.scan(one, states, ks)
+
+    sampler = jax.jit(draws_only)
+    out = sampler(jax.random.PRNGKey(2), states)
+    jax.block_until_ready(out[1][0])
+    dt, (_, (pos, accept)) = _median_time(
+        lambda r: sampler(jax.random.PRNGKey(3 + r), states)
+    )
+    evals = num_draws * num_chains  # exactly one grad eval per transition
+    ess_sec, min_ess, capped = _ess_per_sec(pos, dt)
+    log(
+        f"meads 10k: accept {float(np.mean(np.asarray(accept))):.3f}, "
+        f"min ESS {min_ess:.0f}, warmup {warmup_wall:.1f}s"
+    )
+    _emit(
+        "meads_10k_chains_100d",
+        evals / dt,
+        "grad_evals/s",
+        {
+            "ess_per_sec": round(ess_sec),
+            "chains": num_chains,
+            "draws": num_draws,
+            "min_ess": round(min_ess),
+            "ess_capped": capped,
+            "warmup_wall_s": round(warmup_wall, 1),
+            "runs": TIMED_RUNS,
+            "stat": "median",
+        },
+    )
+
+
 def nuts_fused_10k():
     """Fused whole-transition NUTS Pallas kernel on the config-5 posterior
     (experimental; exact-oracle-validated, see ops/nuts_fused.py)."""
@@ -415,6 +495,7 @@ CONFIGS = {
     "funnel": funnel,
     "logistic_10k": logistic_10k,
     "chees_10k": chees_10k,
+    "meads_10k": meads_10k,
     "nuts_fused_10k": nuts_fused_10k,
 }
 

@@ -104,3 +104,22 @@ def test_chees_ks():
     # many chains => thin across draws only lightly
     ok, p = _ks_ok(np.asarray(pos)[200:], thin=7)
     assert ok, f"ChEES KS p={p}"
+
+
+def test_meads_ks():
+    from aehmc_tpu import meads
+
+    num_chains = 64
+    keys = jax.random.split(jax.random.PRNGKey(8), num_chains)
+    qs = jax.vmap(lambda k: jax.random.normal(k, (1,), jnp.float64))(keys)
+    _, pos, _, _ = jax.jit(
+        lambda k: meads.sample(
+            k,
+            lambda q: normal(LOC, SCALE)(q[0]),
+            qs,
+            num_samples=800,
+            num_warmup=400,
+        )
+    )(jax.random.PRNGKey(9))
+    ok, p = _ks_ok(np.asarray(pos)[200:], thin=7)
+    assert ok, f"MEADS KS p={p}"

@@ -99,16 +99,17 @@ def test_sharded_bitwise_deterministic_per_seed():
     )
 
 
-def test_sharded_statistically_matches_unsharded():
-    """Across different mesh shapes the cross-chain reduction order changes
-    (last-ulp differences in pooled statistics feed Bernoulli draws), so
-    1-device vs 8-device runs are not bitwise identical — but the posteriors
-    must agree statistically."""
+def test_sharded_bitwise_matches_unsharded():
+    """Cross-mesh-shape determinism (BASELINE.md north star): all pooled
+    cross-chain reductions use fixed-tree pairwise order
+    (:func:`aehmc_tpu.algorithms.pairwise_sum`), so 1-device and 8-device
+    runs of the same seed produce bitwise-identical tuned parameters AND
+    draws."""
     logprob_fn = std_normal()
     initial_positions = jax.random.normal(
         jax.random.PRNGKey(5), (64, 2), jnp.float64
     )
-    kwargs = dict(num_samples=400, num_warmup=200)
+    kwargs = dict(num_samples=100, num_warmup=200)
     res_sharded = sample_sharded(
         jax.random.PRNGKey(2), logprob_fn, initial_positions,
         mesh=make_mesh(), **kwargs,
@@ -117,13 +118,17 @@ def test_sharded_statistically_matches_unsharded():
         jax.random.PRNGKey(2), logprob_fn, initial_positions,
         mesh=make_mesh(1), **kwargs,
     )
-    for res in (res_sharded, res_single):
-        pooled = np.asarray(res.positions).reshape(-1, 2)
-        np.testing.assert_allclose(pooled.mean(axis=0), 0.0, atol=0.1)
-        np.testing.assert_allclose(pooled.var(axis=0), 1.0, atol=0.2)
-    assert float(res_sharded.step_size) == pytest.approx(
-        float(res_single.step_size), rel=0.25
+    assert float(res_sharded.step_size) == float(res_single.step_size)
+    np.testing.assert_array_equal(
+        np.asarray(res_sharded.inverse_mass_matrix),
+        np.asarray(res_single.inverse_mass_matrix),
     )
+    np.testing.assert_array_equal(
+        np.asarray(res_sharded.positions), np.asarray(res_single.positions)
+    )
+    pooled = np.asarray(res_sharded.positions).reshape(-1, 2)
+    np.testing.assert_allclose(pooled.mean(axis=0), 0.0, atol=0.1)
+    np.testing.assert_allclose(pooled.var(axis=0), 1.0, atol=0.25)
 
 
 def test_pooled_warmup_progress_stream(capfd):

@@ -184,21 +184,35 @@ def _setup_expansion(step_size, seed=59, max_num_expansions=10):
 
 
 @pytest.mark.parametrize(
-    "step_size, should_diverge, should_turn",
+    "step_size, seed, should_diverge, should_turn, expected_doublings,"
+    " expected_leaves",
     [
-        (100000.0, True, False),
-        (0.0000001, False, False),
-        (1.0, False, True),
+        # Exact regime triples, mirroring ref tests/test_trajectory.py:144-208
+        # (which asserts (should_diverge, should_turn, expected_doublings) at
+        # a pinned seed), adjusted for the documented canonical 2**d-leaves
+        # subtrees (trajectory.py module docstring; the reference integrates
+        # up to 2**d + 1).  Leaf counts: doubling d adds 2**d leaves, so
+        # k completed doublings = 2**k - 1 leaves when no subtree stops early.
+        (100000.0, 59, True, False, 1, 1),  # diverges on the very 1st leaf
+        (0.0000001, 59, False, False, 10, 1023),  # exhausts all 10 doublings
+        # eps=1.0 on N(0,1): the trajectory spans the half-period (~pi) after
+        # 2-4 unit steps, so the U-turn fires at doubling 1 or 2 depending on
+        # the drawn momentum/directions; exact per-seed counts pinned below.
+        (1.0, 59, False, True, 2, 3),
+        (1.0, 1, False, True, 1, 1),
     ],
 )
-def test_multiplicative_expansion_regimes(step_size, should_diverge, should_turn):
+def test_multiplicative_expansion_regimes(
+    step_size, seed, should_diverge, should_turn, expected_doublings,
+    expected_leaves,
+):
     (
         expand,
         key,
         proposal,
         state,
         energy,
-    ) = _setup_expansion(step_size)
+    ) = _setup_expansion(step_size, seed=seed)
     result = jax.jit(expand)(
         key,
         proposal,
@@ -209,18 +223,11 @@ def test_multiplicative_expansion_regimes(step_size, should_diverge, should_turn
         jnp.asarray(step_size),
     )
     assert bool(result.is_diverging) is should_diverge
-    if should_diverge:
-        assert int(result.step) == 1  # diverges on the very first doubling
-    else:
-        # For eps=1 on a standard normal a U-turn (across the whole
-        # trajectory or inside a subtree) must appear within a few doublings;
-        # for a tiny step size the expansion must run to max_num_expansions.
-        turned = bool(result.is_turning) or bool(result.has_subtree_terminated)
+    turned = bool(result.is_turning) or bool(result.has_subtree_terminated)
+    if not should_diverge:
         assert turned is should_turn
-        if should_turn:
-            assert int(result.step) <= 4
-        else:
-            assert int(result.step) == 10  # exhausts max_num_expansions
+    assert int(result.step) == expected_doublings
+    assert int(result.num_integration_steps) == expected_leaves
 
 
 def test_expansion_counts_integration_steps():
