@@ -26,6 +26,7 @@ from aehmc_tpu import (  # noqa: F401
     algorithms,
     checkpoint,
     chees,
+    config,
     diagnostics,
     ghmc,
     hmc,

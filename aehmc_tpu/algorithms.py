@@ -13,11 +13,14 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
+from aehmc_tpu.config import DualAveragingConfig
 from aehmc_tpu.types import DualAveragingState, WelfordState
+
+_DA = DualAveragingConfig()  # single source of the Stan defaults
 
 
 def dual_averaging(
-    gamma: float = 0.05, t0: int = 10, kappa: float = 0.75
+    gamma: float = _DA.gamma, t0: int = _DA.t0, kappa: float = _DA.kappa
 ) -> Tuple[Callable, Callable]:
     """Nesterov's dual-averaging scheme with Hoffman-Gelman stabilization.
 

@@ -10,7 +10,10 @@ import jax
 import jax.numpy as jnp
 
 from aehmc_tpu import algorithms
+from aehmc_tpu.config import MassMatrixConfig
 from aehmc_tpu.types import WelfordState
+
+_MM = MassMatrixConfig()  # single source of Stan's shrinkage constants
 
 
 def covariance_adaptation(
@@ -41,8 +44,9 @@ def covariance_adaptation(
         sample_size = wc_state.sample_size
         covariance = wc_final(wc_state)
         n = sample_size.astype(covariance.dtype)
-        scaled_covariance = (n / (n + 5.0)) * covariance
-        shrinkage = 1e-3 * (5.0 / (n + 5.0))
+        w = _MM.shrinkage_weight
+        scaled_covariance = (n / (n + w)) * covariance
+        shrinkage = _MM.shrinkage_scale * (w / (n + w))
         if covariance.ndim == 2 and is_mass_matrix_full:
             return scaled_covariance + shrinkage * jnp.identity(
                 covariance.shape[0], dtype=covariance.dtype

@@ -18,7 +18,12 @@ def std_normal() -> Callable:
 
 def normal(loc: float = 1.0, scale: float = 2.0) -> Callable:
     """Univariate normal — the reference's warmup/stability test target
-    (ref tests/test_hmc.py:13-52, 100-155)."""
+    (ref tests/test_hmc.py:13-52, 100-155).
+
+    ``loc``/``scale`` stay Python floats (weak-typed under JAX), so the
+    logprob computes at the dtype of ``q`` — f32 positions give an f32
+    posterior, f64 positions an f64 one.
+    """
 
     def logprob_fn(q):
         return jnp.sum(jss.norm.logpdf(q, loc, scale))
@@ -26,10 +31,14 @@ def normal(loc: float = 1.0, scale: float = 2.0) -> Callable:
     return logprob_fn
 
 
-def mvn(loc, cov) -> Callable:
-    """Multivariate normal with dense covariance."""
-    loc = jnp.asarray(loc)
-    cov = jnp.asarray(cov)
+def mvn(loc, cov, dtype=None) -> Callable:
+    """Multivariate normal with dense covariance.
+
+    Pass ``dtype`` to pin the model constants (and hence the posterior's
+    compute dtype) — used by the float32 statistical gates.
+    """
+    loc = jnp.asarray(loc, dtype)
+    cov = jnp.asarray(cov, dtype)
     chol = jnp.linalg.cholesky(cov)
     log_det = 2.0 * jnp.sum(jnp.log(jnp.diag(chol)))
     dim = loc.shape[0]
@@ -43,10 +52,10 @@ def mvn(loc, cov) -> Callable:
     return logprob_fn
 
 
-def correlated_mvn(dim: int = 25, rho: float = 0.5) -> Callable:
+def correlated_mvn(dim: int = 25, rho: float = 0.5, dtype=None) -> Callable:
     """Equicorrelated MVN — the reference's MCSE quality-gate target is the
     2-D case (ref tests/test_hmc.py:190-346); the 25-d case is BASELINE.md
     config 3 (dense mass-matrix path)."""
     cov = np.full((dim, dim), rho)
     np.fill_diagonal(cov, 1.0)
-    return mvn(np.zeros(dim), cov)
+    return mvn(np.zeros(dim), cov, dtype)

@@ -153,6 +153,10 @@ def sample_sharded(
     search_initial_step_size: bool = True,
     mesh=None,
     collect_positions: bool = True,
+    checkpoint_every: int = 0,
+    checkpoint_path: Optional[str] = None,
+    resume: bool = False,
+    _crash_after_segments: Optional[int] = None,
 ) -> SampleResult:
     """Pooled warmup + sampling for a chain batch sharded over a mesh.
 
@@ -167,7 +171,29 @@ def sample_sharded(
     - ``"meads"``: tuning-free adaptive GHMC with cross-fold hyperparameter
       estimation (see :mod:`aehmc_tpu.meads`); ``num_warmup`` is burn-in
       only — adaptation is part of the kernel and continues while sampling.
+
+    **Checkpoint / resume** (new capability vs the reference, SURVEY.md §5):
+    pass ``checkpoint_every=N, checkpoint_path="run.npz"`` to snapshot the
+    full sampling state (chain states, tuned parameters, PRNG key, collected
+    draws) every N draws.  With ``resume=True`` a restarted call with the
+    SAME arguments continues from the last snapshot and returns a result
+    bitwise identical to the uninterrupted run (same mesh): sampling runs in
+    fixed segments whose per-step keys are derived once from the post-warmup
+    key, so segment boundaries don't perturb the draw stream.  Warmup itself
+    is not checkpointed — a run killed during warmup restarts it.
+    ``_crash_after_segments`` is a test hook that aborts after N segments.
     """
+    if checkpoint_every:
+        if checkpoint_path is None:
+            raise ValueError(
+                "checkpoint_every requires checkpoint_path"
+            )
+        if algorithm in ("chees", "meads"):
+            raise NotImplementedError(
+                f"checkpointing is not yet wired for algorithm={algorithm!r}"
+                " (its adaptation state lives inside the sampling loop);"
+                " use nuts/hmc/mala/ghmc"
+            )
     if algorithm == "meads":
         from aehmc_tpu import meads
 
@@ -280,7 +306,7 @@ def sample_sharded(
 
     num_chains = initial_positions.shape[0]
 
-    def program(key, positions):
+    def warmup_program(key, positions):
         init_key, warmup_key, sample_key = jax.random.split(key, 3)
         init_keys = jax.random.split(init_key, num_chains)
         states = jax.vmap(
@@ -307,7 +333,9 @@ def sample_sharded(
                 imm = jnp.ones((dim,), dtype)
             else:
                 imm = jnp.ones((), dtype)
+        return states, eps, imm, sample_key
 
+    def sample_segment(states, keys, eps, imm):
         def one_step(states, key):
             keys = jax.random.split(key, num_chains)
             new_states, infos = jax.vmap(
@@ -316,16 +344,155 @@ def sample_sharded(
             out = new_states.position if collect_positions else None
             return new_states, (out, infos)
 
-        keys = jax.random.split(sample_key, num_samples)
-        final_states, (positions_out, infos) = jax.lax.scan(
-            one_step, states, keys
+        return jax.lax.scan(one_step, states, keys)
+
+    if not checkpoint_every:
+
+        def program(key, positions):
+            states, eps, imm, sample_key = warmup_program(key, positions)
+            keys = jax.random.split(sample_key, num_samples)
+            final_states, (positions_out, infos) = sample_segment(
+                states, keys, eps, imm
+            )
+            return SampleResult(
+                final_state=final_states,
+                positions=positions_out,
+                diagnostics=infos,
+                step_size=eps,
+                inverse_mass_matrix=imm,
+            )
+
+        return jax.jit(program)(rng_key, initial_positions)
+
+    return _checkpointed_run(
+        rng_key,
+        initial_positions,
+        warmup_program,
+        sample_segment,
+        num_samples,
+        checkpoint_every,
+        checkpoint_path,
+        resume,
+        collect_positions,
+        mesh,
+        _crash_after_segments,
+    )
+
+
+def _checkpointed_run(
+    rng_key,
+    initial_positions,
+    warmup_program,
+    sample_segment,
+    num_samples,
+    checkpoint_every,
+    checkpoint_path,
+    resume,
+    collect_positions,
+    mesh,
+    _crash_after_segments,
+):
+    """Segmented sampling loop with periodic snapshots (SURVEY.md §5).
+
+    Sampling runs as ``ceil(num_samples / checkpoint_every)`` jitted scans.
+    The per-draw keys for the WHOLE run are derived once from the
+    post-warmup key, so a resumed run replays the exact key stream of the
+    uninterrupted one; per-segment computations are the same compiled
+    program on the same inputs, hence bitwise-identical results.
+    """
+    import os
+
+    import numpy as np
+
+    from aehmc_tpu import checkpoint as ckpt
+
+    segment_fn = jax.jit(sample_segment)
+    n_segments = -(-num_samples // checkpoint_every)
+
+    done_segments = 0
+    pos_chunks, info_chunks = [], []
+    state = None
+    if resume and os.path.exists(checkpoint_path):
+        # Build a dtype-correct example pytree without running anything:
+        # eval_shape gives the exact structure/dtypes of warmup + segments.
+        wu_shapes = jax.eval_shape(
+            warmup_program, rng_key, initial_positions
         )
-        return SampleResult(
-            final_state=final_states,
-            positions=positions_out,
-            diagnostics=infos,
-            step_size=eps,
-            inverse_mass_matrix=imm,
+        states_ex, eps_ex, imm_ex, key_ex = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), wu_shapes
+        )
+        first = min(checkpoint_every, num_samples)
+        keys_ex = jax.random.split(jax.random.PRNGKey(0), first)
+        seg_shapes = jax.eval_shape(
+            sample_segment, states_ex, keys_ex, eps_ex, imm_ex
+        )
+        _, (pos_seg_ex, info_seg_ex) = jax.tree_util.tree_map(
+            lambda s: jnp.zeros((0,) + s.shape[1:], s.dtype), seg_shapes
+        )
+        example = {
+            "states": states_ex,
+            "eps": eps_ex,
+            "imm": imm_ex,
+            "sample_key": key_ex,
+            "done_segments": jnp.zeros((), jnp.int32),
+            "infos": info_seg_ex,
+        }
+        if collect_positions:
+            example["positions"] = pos_seg_ex
+        loaded = ckpt.restore(checkpoint_path, example)
+        states, eps, imm = loaded["states"], loaded["eps"], loaded["imm"]
+        sample_key = loaded["sample_key"]
+        done_segments = int(loaded["done_segments"])
+        info_chunks = [loaded["infos"]]
+        if collect_positions:
+            pos_chunks = [loaded["positions"]]
+        if mesh is not None:
+            states = jax.device_put(states, chain_sharding(mesh))
+    else:
+        states, eps, imm, sample_key = jax.jit(warmup_program)(
+            rng_key, initial_positions
         )
 
-    return jax.jit(program)(rng_key, initial_positions)
+    all_keys = jax.random.split(sample_key, num_samples)
+
+    def _stack(chunks):
+        if len(chunks) == 1:
+            return chunks[0]
+        return jax.tree_util.tree_map(
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *chunks
+        )
+
+    for seg in range(done_segments, n_segments):
+        lo = seg * checkpoint_every
+        hi = min(lo + checkpoint_every, num_samples)
+        states, (pos_seg, info_seg) = segment_fn(
+            states, all_keys[lo:hi], eps, imm
+        )
+        info_chunks.append(info_seg)
+        if collect_positions:
+            pos_chunks.append(pos_seg)
+        payload = {
+            "states": states,
+            "eps": eps,
+            "imm": imm,
+            "sample_key": sample_key,
+            "done_segments": jnp.asarray(seg + 1, jnp.int32),
+            "infos": _stack(info_chunks),
+        }
+        if collect_positions:
+            payload["positions"] = _stack(pos_chunks)
+        ckpt.save(checkpoint_path, payload)
+        if (
+            _crash_after_segments is not None
+            and seg + 1 - done_segments >= _crash_after_segments
+            and seg + 1 < n_segments
+        ):
+            return None  # simulated kill (test hook)
+
+    return SampleResult(
+        final_state=states,
+        positions=_stack(pos_chunks) if collect_positions else None,
+        diagnostics=_stack(info_chunks),
+        step_size=eps,
+        inverse_mass_matrix=imm,
+    )

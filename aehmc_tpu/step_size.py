@@ -12,14 +12,17 @@ import jax
 import jax.numpy as jnp
 
 from aehmc_tpu import algorithms
+from aehmc_tpu.config import DualAveragingConfig
 from aehmc_tpu.types import DualAveragingState
+
+_DA = DualAveragingConfig()  # single source of the Stan defaults
 
 
 def dual_averaging_adaptation(
-    target_acceptance_rate: float = 0.8,
-    gamma: float = 0.05,
-    t0: int = 10,
-    kappa: float = 0.75,
+    target_acceptance_rate: float = _DA.target_acceptance_rate,
+    gamma: float = _DA.gamma,
+    t0: int = _DA.t0,
+    kappa: float = _DA.kappa,
 ) -> Tuple[Callable, Callable]:
     """Tune the step size towards a target acceptance rate.
 

@@ -20,6 +20,7 @@ from typing import Callable, List, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from aehmc_tpu.config import WindowSchedule
 from aehmc_tpu.mass_matrix import covariance_adaptation
 from aehmc_tpu.step_size import dual_averaging_adaptation
 from aehmc_tpu.types import (
@@ -28,6 +29,9 @@ from aehmc_tpu.types import (
     DualAveragingState,
     WelfordState,
 )
+
+
+_SCHEDULE = WindowSchedule()  # single source of Stan's 75/25/50 defaults
 
 
 class WindowAdaptationState(NamedTuple):
@@ -39,9 +43,9 @@ class WindowAdaptationState(NamedTuple):
 
 def build_schedule(
     num_steps: int,
-    initial_buffer_size: int = 75,
-    final_buffer_size: int = 50,
-    first_window_size: int = 25,
+    initial_buffer_size: int = _SCHEDULE.initial_buffer,
+    final_buffer_size: int = _SCHEDULE.final_buffer,
+    first_window_size: int = _SCHEDULE.first_window,
 ) -> List[Tuple[int, bool]]:
     """Return Stan's warmup schedule as ``(stage, is_middle_window_end)`` pairs.
 

@@ -64,6 +64,71 @@ def test_resume_continues_bitwise(tmp_path):
     np.testing.assert_array_equal(full, resumed)
 
 
+def test_sample_sharded_checkpoint_resume(tmp_path):
+    """Driver-integrated checkpointing: a run killed mid-sampling and
+    resumed reproduces the uninterrupted run bit-for-bit (same mesh)."""
+    from aehmc_tpu.parallel import sample_sharded
+
+    logprob_fn = std_normal()
+    key = jax.random.PRNGKey(5)
+    qs = jax.random.normal(jax.random.PRNGKey(6), (8, 2))
+    common = dict(
+        num_samples=30,
+        num_warmup=40,
+        algorithm="nuts",
+        checkpoint_every=10,
+    )
+
+    full = sample_sharded(
+        key, logprob_fn, qs,
+        checkpoint_path=str(tmp_path / "full.npz"), **common,
+    )
+
+    path = str(tmp_path / "run.npz")
+    crashed = sample_sharded(
+        key, logprob_fn, qs,
+        checkpoint_path=path, _crash_after_segments=1, **common,
+    )
+    assert crashed is None  # simulated kill after segment 1
+    resumed = sample_sharded(
+        key, logprob_fn, qs, checkpoint_path=path, resume=True, **common,
+    )
+
+    np.testing.assert_array_equal(
+        np.asarray(full.positions), np.asarray(resumed.positions)
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(full.final_state),
+        jax.tree_util.tree_leaves(resumed.final_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(full.diagnostics),
+        jax.tree_util.tree_leaves(resumed.diagnostics),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(full.step_size) == float(resumed.step_size)
+    np.testing.assert_array_equal(
+        np.asarray(full.inverse_mass_matrix),
+        np.asarray(resumed.inverse_mass_matrix),
+    )
+
+
+def test_checkpoint_every_validation():
+    from aehmc_tpu.parallel import sample_sharded
+
+    logprob_fn = std_normal()
+    qs = jnp.zeros((4, 2))
+    try:
+        sample_sharded(
+            jax.random.PRNGKey(0), logprob_fn, qs, num_samples=4,
+            num_warmup=0, checkpoint_every=2,
+        )
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_orbax_roundtrip_pytree(tmp_path):
     """The Orbax path (directory target) restores sharded-capable pytrees."""
     state = {

@@ -40,29 +40,37 @@ def assert_mcse_within_error(samples, loc, scale, rho):
     np.testing.assert_array_less(0.01, p_greater_error)
 
 
-def multivariate_normal_model():
+def multivariate_normal_model(dtype=None):
     loc = np.array([0.0, 3.0])
     scale = np.array([1.0, 2.0])
     rho = 0.5
     cov = np.diag(scale**2)
     cov[0, 1] = cov[1, 0] = rho * scale[0] * scale[1]
-    return (loc, scale, rho), mvn(loc, cov)
+    return (loc, scale, rho), mvn(loc, cov, dtype)
 
 
+# The statistical gates run at both f64 (the reference's test policy, ref
+# conftest.py:4-10) and f32 (the production TPU dtype — mirrors the
+# reference's float32 sweep hook, ref .github/workflows/test.yml:114-116).
+DTYPES = [jnp.float64, jnp.float32]
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
 @pytest.mark.parametrize("step_size, diverges", [(3.9, False), (4.1, True)])
-def test_univariate_hmc(step_size, diverges):
+def test_univariate_hmc(step_size, diverges, dtype):
     """On N(1, 2^2) trajectory integration is stable iff eps < 2 sigma
     (ref tests/test_hmc.py:100-155)."""
     logprob_fn = normal(1.0, 2.0)
     kernel = hmc.new_kernel(logprob_fn)
-    initial_state = hmc.new_state(jnp.asarray(3.0), logprob_fn)
+    initial_state = hmc.new_state(jnp.asarray(3.0, dtype), logprob_fn)
 
     bound = lambda key, state: kernel(  # noqa: E731
-        key, state, jnp.asarray(step_size), jnp.asarray(1.0), 30
+        key, state, jnp.asarray(step_size, dtype), jnp.asarray(1.0, dtype), 30
     )
     _, positions, _ = jax.jit(
         lambda key: sample_loop(key, bound, initial_state, 5000)
     )(jax.random.PRNGKey(0))
+    assert positions.dtype == dtype  # no silent upcast
     samples = np.asarray(positions)
 
     if diverges:
@@ -72,19 +80,20 @@ def test_univariate_hmc(step_size, diverges):
         assert np.var(samples[1000:]) == pytest.approx(4.0, rel=2e-1)
 
 
-def test_hmc_mcse():
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_hmc_mcse(dtype):
     """Stan-wiki sampler-correctness methodology on a correlated 2-D MVN
     (ref tests/test_hmc.py:190-264)."""
-    (loc, scale, rho), logprob_fn = multivariate_normal_model()
+    (loc, scale, rho), logprob_fn = multivariate_normal_model(dtype)
     kernel = hmc.new_kernel(logprob_fn)
 
     rng = np.random.default_rng(seed=0)
     initial_state = hmc.new_state(
-        jnp.asarray(rng.standard_normal(2)), logprob_fn
+        jnp.asarray(rng.standard_normal(2), dtype), logprob_fn
     )
-    inverse_mass_matrix = jnp.asarray(scale)
+    inverse_mass_matrix = jnp.asarray(scale, dtype)
     bound = lambda key, state: kernel(  # noqa: E731
-        key, state, jnp.asarray(1.0), inverse_mass_matrix, 30
+        key, state, jnp.asarray(1.0, dtype), inverse_mass_matrix, 30
     )
     _, positions, infos = jax.jit(
         lambda key: sample_loop(key, bound, initial_state, 3000)

@@ -6,31 +6,35 @@ Mirrors ref tests/test_hmc.py:267-346 plus NUTS-specific regime checks.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from aehmc_tpu import nuts
 from aehmc_tpu.models import std_normal
 from aehmc_tpu.sampling import sample_loop
 from tests.test_hmc import (
+    DTYPES,
     assert_mcse_within_error,
     multivariate_normal_model,
 )
 
 
-def test_nuts_mcse():
-    (loc, scale, rho), logprob_fn = multivariate_normal_model()
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_nuts_mcse(dtype):
+    (loc, scale, rho), logprob_fn = multivariate_normal_model(dtype)
     kernel = nuts.new_kernel(logprob_fn)
 
     rng = np.random.default_rng(seed=0)
     initial_state = nuts.new_state(
-        jnp.asarray(rng.standard_normal(2)), logprob_fn
+        jnp.asarray(rng.standard_normal(2), dtype), logprob_fn
     )
-    inverse_mass_matrix = jnp.asarray(scale)
+    inverse_mass_matrix = jnp.asarray(scale, dtype)
     bound = lambda key, state: kernel(  # noqa: E731
-        key, state, jnp.asarray(1.0), inverse_mass_matrix
+        key, state, jnp.asarray(1.0, dtype), inverse_mass_matrix
     )
     _, positions, infos = jax.jit(
         lambda key: sample_loop(key, bound, initial_state, 3000)
     )(jax.random.PRNGKey(1))
+    assert positions.dtype == dtype  # no silent upcast
     samples = np.asarray(positions)[-1000:]
     assert_mcse_within_error(samples, loc, scale, rho)
 
@@ -62,17 +66,18 @@ def test_nuts_standard_normal_moments():
     assert abs(np.var(samples) - 1.0) < 0.15
 
 
-def test_nuts_dense_mass_matrix():
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_nuts_dense_mass_matrix(dtype):
     """Dense-metric NUTS on a correlated MVN passes the full MCSE gates
     (the cholesky/einsum metric path, tier 4)."""
-    (loc, scale, rho), logprob_fn = multivariate_normal_model()
+    (loc, scale, rho), logprob_fn = multivariate_normal_model(dtype)
     cov = np.diag(scale**2)
     cov[0, 1] = cov[1, 0] = rho * scale[0] * scale[1]
 
     kernel = nuts.new_kernel(logprob_fn)
-    initial_state = nuts.new_state(jnp.zeros(2), logprob_fn)
+    initial_state = nuts.new_state(jnp.zeros(2, dtype), logprob_fn)
     bound = lambda key, state: kernel(  # noqa: E731
-        key, state, jnp.asarray(0.7), jnp.asarray(cov)
+        key, state, jnp.asarray(0.7, dtype), jnp.asarray(cov, dtype)
     )
     _, positions, infos = jax.jit(
         lambda key: sample_loop(key, bound, initial_state, 4000)

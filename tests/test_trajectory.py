@@ -137,12 +137,13 @@ def test_dynamic_integration_max_steps():
     assert int(trajectory_length) == 8
 
 
-def _setup_expansion(step_size, seed=59, max_num_expansions=10):
+def _setup_expansion(step_size, seed=59, max_num_expansions=10,
+                     dtype=jnp.float64):
     def potential_fn(x):
         return 0.5 * jnp.sum(jnp.square(x))
 
-    inverse_mass_matrix = jnp.asarray(1.0)
-    position = jnp.asarray(1.0)
+    inverse_mass_matrix = jnp.asarray(1.0, dtype)
+    position = jnp.asarray(1.0, dtype)
 
     momentum_generator, kinetic_energy_fn, uturn_check_fn = gaussian_metric(
         inverse_mass_matrix
@@ -177,12 +178,13 @@ def _setup_expansion(step_size, seed=59, max_num_expansions=10):
             state.position, state.potential_energy, state.potential_energy_grad
         ),
         energy=energy,
-        weight=jnp.asarray(0.0),
-        sum_log_p_accept=jnp.asarray(-jnp.inf),
+        weight=jnp.asarray(0.0, dtype),
+        sum_log_p_accept=jnp.asarray(-jnp.inf, dtype),
     )
     return expand, expansion_key, proposal, state, energy
 
 
+@pytest.mark.parametrize("dtype", [jnp.float64, jnp.float32])
 @pytest.mark.parametrize(
     "step_size, seed, should_diverge, should_turn, expected_doublings,"
     " expected_leaves",
@@ -198,21 +200,30 @@ def _setup_expansion(step_size, seed=59, max_num_expansions=10):
         # eps=1.0 on N(0,1): the trajectory spans the half-period (~pi) after
         # 2-4 unit steps, so the U-turn fires at doubling 1 or 2 depending on
         # the drawn momentum/directions; exact per-seed counts pinned below.
-        (1.0, 59, False, True, 2, 3),
+        # jax.random.normal draws DIFFERENT values at f32 vs f64 for the same
+        # key, so the counts are pinned per (seed, dtype): {dtype: (d, l)}.
+        (1.0, 59, False, True, {"float64": (2, 3), "float32": (1, 1)}, None),
         (1.0, 1, False, True, 1, 1),
     ],
 )
 def test_multiplicative_expansion_regimes(
     step_size, seed, should_diverge, should_turn, expected_doublings,
-    expected_leaves,
+    expected_leaves, dtype,
 ):
+    # Exact per-seed doubling/leaf counts must hold at BOTH dtypes: on these
+    # regimes (divergent blowup, 1e-7 never-turn, unit steps on N(0,1)) the
+    # f32/f64 decision boundaries are far from round-off.
+    if isinstance(expected_doublings, dict):
+        expected_doublings, expected_leaves = expected_doublings[
+            dtype.__name__
+        ]
     (
         expand,
         key,
         proposal,
         state,
         energy,
-    ) = _setup_expansion(step_size, seed=seed)
+    ) = _setup_expansion(step_size, seed=seed, dtype=dtype)
     result = jax.jit(expand)(
         key,
         proposal,
@@ -220,7 +231,7 @@ def test_multiplicative_expansion_regimes(
         state,
         state.momentum,
         energy,
-        jnp.asarray(step_size),
+        jnp.asarray(step_size, dtype),
     )
     assert bool(result.is_diverging) is should_diverge
     turned = bool(result.is_turning) or bool(result.has_subtree_terminated)

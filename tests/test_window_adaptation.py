@@ -9,13 +9,20 @@ import pytest
 
 from aehmc_tpu import nuts, window_adaptation
 from aehmc_tpu.models import mvn, normal
+from tests.test_hmc import DTYPES
 
 
-def test_warmup_scalar():
-    """Univariate N(1, 2^2): scalar mass matrix (ref tests/test_hmc.py:13-52)."""
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_warmup_scalar(dtype):
+    """Univariate N(1, 2^2): scalar mass matrix (ref tests/test_hmc.py:13-52).
+
+    Runs at f64 (the reference's test policy) and f32 (the production TPU
+    dtype) — the tuned step size and mass matrix must pass the same quality
+    gates at both.
+    """
     logprob_fn = normal(1.0, 2.0)
     kernel = nuts.new_kernel(logprob_fn)
-    initial_state = nuts.new_state(jnp.asarray(3.0), logprob_fn)
+    initial_state = nuts.new_state(jnp.asarray(3.0, dtype), logprob_fn)
 
     state, (step_size, inverse_mass_matrix), info = jax.jit(
         lambda key: window_adaptation.run(
@@ -24,6 +31,8 @@ def test_warmup_scalar():
     )(jax.random.PRNGKey(0))
 
     assert float(state.position) != 3.0  # the chain has moved
+    assert step_size.dtype == dtype
+    assert inverse_mass_matrix.dtype == dtype
     assert jnp.ndim(step_size) == 0
     assert float(step_size) != 1.0
     assert 0.1 < float(step_size) < 2.0
@@ -31,13 +40,14 @@ def test_warmup_scalar():
     assert float(inverse_mass_matrix) == pytest.approx(4.0, rel=1.0)
 
 
-def test_warmup_vector():
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_warmup_vector(dtype):
     """Diagonal MVN: diag mass matrix (ref tests/test_hmc.py:55-97)."""
     loc = np.array([0.0, 3.0])
     scale = np.array([1.0, 2.0])
-    logprob_fn = mvn(loc, np.diag(scale**2))
+    logprob_fn = mvn(loc, np.diag(scale**2), dtype)
     kernel = nuts.new_kernel(logprob_fn)
-    initial_state = nuts.new_state(jnp.asarray([1.0, 1.0]), logprob_fn)
+    initial_state = nuts.new_state(jnp.asarray([1.0, 1.0], dtype), logprob_fn)
 
     state, (step_size, inverse_mass_matrix), _ = jax.jit(
         lambda key: window_adaptation.run(
@@ -52,12 +62,13 @@ def test_warmup_vector():
     np.testing.assert_allclose(inverse_mass_matrix, scale**2, rtol=1.0)
 
 
-def test_warmup_full_mass_matrix():
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_warmup_full_mass_matrix(dtype):
     """Dense mass matrix recovers the full covariance on a correlated MVN."""
     cov = np.array([[1.0, 0.7], [0.7, 2.0]])
-    logprob_fn = mvn(np.zeros(2), cov)
+    logprob_fn = mvn(np.zeros(2), cov, dtype)
     kernel = nuts.new_kernel(logprob_fn)
-    initial_state = nuts.new_state(jnp.zeros(2), logprob_fn)
+    initial_state = nuts.new_state(jnp.zeros(2, dtype), logprob_fn)
 
     _, (step_size, inverse_mass_matrix), _ = jax.jit(
         lambda key: window_adaptation.run(
