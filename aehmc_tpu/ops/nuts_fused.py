@@ -1,22 +1,55 @@
-"""Fused whole-transition NUTS kernel (Pallas/Mosaic) for the
-logistic-regression family — EXPERIMENTAL (see ROADMAP.md).
+"""Fused whole-transition NUTS megakernel (Pallas/Mosaic) — generic
+gradients, logistic-regression fast path, optional in-kernel PRNG.
 
 One kernel program runs the complete NUTS transition for a block of chains:
 the doubling loop, subtree integration, progressive sampling, checkpoint
-U-turn machinery and all state stay in VMEM; gradients are in-kernel MXU
-matmuls.  Randomness is *externalized* — the momentum, per-doubling
+U-turn machinery and all state stay in VMEM.  Gradients are computed
+*inside* the kernel:
+
+- :func:`make_fused_nuts_transition` — GENERIC: any batched potential
+  ``potential_fn(q, *data) -> (bc,)`` written in jnp is traced into the
+  kernel body and differentiated in-kernel with ``jax.vjp`` (the data
+  arrays live in VMEM).  This is the structural answer to the generic
+  NUTS path's per-doubling carry-select overhead (PERF.md): nothing
+  crosses HBM between leaves.
+- :func:`fused_nuts_transition` — the logistic-regression specialization
+  with handwritten MXU matmuls (optionally bf16 passes).
+
+Randomness is *externalized* by default — the momentum, per-doubling
 directions/uniforms and per-leaf uniforms are inputs — so the kernel is a
 pure deterministic function, validated exactly against the NumPy oracle
-(:mod:`aehmc_tpu.ops.nuts_oracle`) in interpret mode.
+(:mod:`aehmc_tpu.ops.nuts_oracle`) in interpret mode (f32 matmuls; the
+bf16-pass production path is validated statistically, like the XLA path
+whose matmuls also run bf16 MXU passes by default).  With
+``internal_prng`` / ``seed`` the kernel instead draws its own randomness
+on-chip (``pltpu.prng_random_bits``; momentum via Box-Muller) — the
+XLA-side randomness generation (~0.46 ms/transition at 10k chains, over
+half the transition's fixed cost) drops out entirely.
 
 The per-leaf uniform for leaf ``i`` of doubling ``d`` is read at static
 index ``2**d - 1 + i``, so oracle and kernel consume identical streams
 independent of early stopping.  Early exit is block-granular: a subtree
 (or the doubling loop) stops when every chain in the block has stopped.
+
+Mosaic-shaped design notes (hard-won, keep in sync with the code):
+per-chain scalars (energies, weights, masks, counters) are carried
+*lane-replicated* as (bc, D) arrays — Mosaic has no relayout between the
+replicated layout of (bc, 1) literals and the lane-0 layout of reduction
+outputs, and its select_n cannot lane-broadcast a (bc, 1) predicate; with
+every quantity at full lane width all ops are plain elementwise.  Masks
+are float32 {0,1} (no i1 vectors in while carries) applied as
+multiply-add blends.  Carry inits derive from loaded data, not literals
+(constants take a fully-replicated layout loop values can't relayout to).
+Checkpoint buffers use *dynamic sublane* slices — ``ck[:, pl.ds(i, 1), :]``
+with a scalar slot index — which Mosaic supports (only lane-dim dynamic
+indexing is not); this writes/reads one (bc, 1, D) slot instead of
+masked-blending the whole (bc, K, D) buffer every leaf, and the U-turn
+check walks only the live slot range in a ``fori_loop`` at odd leaves.
+Mosaic has no uint32->f32 cast (bitcast to int32 and shift first), and
+block sizes past 256 chains need ``vmem_limit_bytes`` raised.
 """
 
-import functools
-from typing import Tuple
+from typing import Callable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,270 +77,524 @@ def _trailing_ones_scalar(x, bits=16):
     return _popcount_scalar(x ^ (x + 1), bits) - 1
 
 
-def _kernel(eps_ref, q_ref, u0_ref, g_ref, p_ref, dirs_ref, ubias_ref,
-            uleaf_ref, x_ref, xt_ref, y_ref, im_ref,
-            q_out, u_out, g_out, stats_out,
-            ck_p, ck_s,
-            *, max_exp: int, divergence_threshold: float,
-            prior_precision: float):
-    """Whole NUTS transition per chain block.
+def _uniform_from_bits(bits):
+    """Random bits -> f32 uniforms in (0, 1].
 
-    Mosaic-shaped design: per-chain scalars (energies, weights, masks,
-    counters) are carried *lane-replicated* as (bc, D) arrays — Mosaic has
-    no relayout between the replicated layout of (bc, 1) literals and the
-    lane-0 layout of reduction outputs, and its select_n cannot
-    lane-broadcast a (bc, 1) predicate; with every quantity at full lane
-    width all ops are plain elementwise.  Masks are float32 {0,1} (no i1
-    vectors in while carries) applied as multiply-add blends; dynamic lane
-    indexing (random-stream columns) is a masked reduce.
+    Mosaic has no uint32->f32 cast; a logical right shift by 8 on the
+    int32 view leaves a non-negative 24-bit value that casts cleanly.
     """
-    eps = eps_ref[0]
-    X = x_ref[:]
-    XT = xt_ref[:]
-    y_row = y_ref[:]
-    im = im_ref[:]
-    dim = q_ref.shape[1]
-    ones_row = jnp.ones((1, dim), jnp.float32)
+    bits = pltpu.bitcast(bits, jnp.int32)
+    top24 = jax.lax.shift_right_logical(bits, 8)
+    return (top24.astype(jnp.float32) + 1.0) * (1.0 / 16777216.0)
 
-    def rep(x):
-        # lane-replicate a (bc, 1) reduction output to (bc, D)
-        return x * ones_row
 
-    def blend(m, a, b):
-        return m * a + (1.0 - m) * b
+def _make_kernel(pot_grad_builder: Callable, n_data: int, *, max_exp: int,
+                 divergence_threshold: float, internal_prng: bool = False):
+    """Build the whole-transition kernel body.
 
-    def _column(ref, j):
-        vals = ref[:]
-        cols = jax.lax.broadcasted_iota(jnp.int32, (1, vals.shape[1]), 1)
-        picked = jnp.sum(jnp.where(cols == j, vals, 0.0), axis=1, keepdims=True)
-        return rep(picked)
+    ``pot_grad_builder(*data_vals)`` is called once inside the kernel with
+    the loaded data arrays and must return ``pot_grad(q) -> (u, g)`` with
+    ``u`` of shape (bc, 1) (or (bc,)) and ``g`` of shape (bc, dim) — any
+    jnp code Pallas can lower (MXU dot_generals, jax.vjp, ...).
 
-    def pot_grad(q):
-        logits = jax.lax.dot_general(
-            q, XT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (BC, N)
-        sp = jnp.maximum(logits, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-        loglik = jnp.sum(y_row * logits - sp, axis=-1, keepdims=True)
-        resid = jax.nn.sigmoid(logits) - y_row
-        g = jax.lax.dot_general(
-            resid, X, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) + prior_precision * q
-        u = rep(-loglik + 0.5 * prior_precision
-                * jnp.sum(q * q, axis=-1, keepdims=True))
-        # finite clamps: masked blends compute 0 * x, NaN-poisoned by +-inf
-        u = jnp.clip(jnp.where(jnp.isnan(u), -NEG_INF, u), NEG_INF, -NEG_INF)
-        g = jnp.clip(jnp.where(jnp.isnan(g), 0.0, g), NEG_INF, -NEG_INF)
-        return u, g
+    With ``internal_prng`` the kernel draws its own randomness (momentum
+    via Box-Muller, directions/uniforms from ``pltpu.prng_random_bits``)
+    from a per-transition seed — the externalized-randomness inputs (and
+    their XLA-side generation) drop out entirely.  Kept off for the
+    exact-oracle path.
+    """
 
-    def ke(p):
-        return rep(0.5 * jnp.sum(im * p * p, axis=-1, keepdims=True))
+    def _kernel(*args):
+        if internal_prng:
+            (eps_ref, seed_ref, q_ref, u0_ref, g_ref), refs = (
+                args[:5], args[5:]
+            )
+            p_ref = dirs_ref = ubias_ref = uleaf_ref = None
+        else:
+            (eps_ref, q_ref, u0_ref, g_ref, p_ref, dirs_ref, ubias_ref,
+             uleaf_ref), refs = args[:8], args[8:]
+        data_refs = refs[:n_data]
+        (im_ref, q_out, u_out, g_out, stats_out, ck_p, ck_s) = refs[n_data:]
+        eps = eps_ref[0]
+        im = im_ref[:]
+        dim = q_ref.shape[1]
+        bc = q_ref.shape[0]
+        ones_row = jnp.ones((1, dim), jnp.float32)
 
-    def leapfrog(q, p, g, d_eps):
-        p1 = p - 0.5 * d_eps * g
-        q1 = q + d_eps * (im * p1)
-        u1, g1 = pot_grad(q1)
-        p1 = p1 - 0.5 * d_eps * g1
-        return q1, p1, u1, g1
+        def rep(x):
+            # lane-replicate a (bc, 1) reduction output to (bc, D)
+            return x * ones_row
 
-    q0 = q_ref[:]
-    g0 = g_ref[:]
-    u0 = rep(u0_ref[:])
-    p0 = p_ref[:]
-    e0 = u0 + ke(p0)
+        def blend(m, a, b):
+            return m * a + (1.0 - m) * b
 
-    def turning(p_l, p_r, rho_sum):
-        rho = rho_sum - (p_r + p_l) * 0.5
-        t_l = rep(jnp.sum(im * p_l * rho, axis=-1, keepdims=True)) <= 0
-        t_r = rep(jnp.sum(im * p_r * rho, axis=-1, keepdims=True)) <= 0
-        return (t_l | t_r).astype(jnp.float32)
+        def _column(vals, j):
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (1, vals.shape[1]), 1
+            )
+            picked = jnp.sum(
+                jnp.where(cols == j, vals, 0.0), axis=1, keepdims=True
+            )
+            return rep(picked)
 
-    # derive carry inits from loaded data, not literals: constant inits get
-    # Mosaic's fully-replicated layout, loop-produced values do not, and the
-    # relayout between them is unimplemented
-    zero = q0 * 0.0
-    one_m = zero + 1.0
-    neg_inf_v = zero + NEG_INF
+        raw_pot_grad = pot_grad_builder(*[r[:] for r in data_refs])
 
-    # carry: d, prop(q,U,g,energy,weight,slpa), L(q,p,U,g), R(q,p,U,g),
-    #        psum, active, div, turn, accept, leaves, doublings
-    init = (
-        jnp.asarray(0, jnp.int32),
-        (q0, u0, g0, e0, zero, neg_inf_v),
-        (q0, p0, u0, g0), (q0, p0, u0, g0),
-        p0, one_m, zero, zero, zero, zero, zero,
-    )
+        def pot_grad(q):
+            u, g = raw_pot_grad(q)
+            if u.ndim == 1:
+                u = u[:, None]
+            u = rep(u)
+            # finite clamps: masked blends compute 0 * x, NaN-poisoned by
+            # +-inf
+            u = jnp.clip(
+                jnp.where(jnp.isnan(u), -NEG_INF, u), NEG_INF, -NEG_INF
+            )
+            g = jnp.clip(jnp.where(jnp.isnan(g), 0.0, g), NEG_INF, -NEG_INF)
+            return u, g
 
-    def outer_cond(c):
-        d = c[0]
-        active = c[5]
-        return (d < max_exp) & jnp.any(active > 0.5)
+        def ke(p):
+            return rep(0.5 * jnp.sum(im * p * p, axis=-1, keepdims=True))
 
-    def outer_body(c):
-        (d, prop, left, right, psum, active, div, turn,
-         accept, leaves, doublings) = c
-        direction = _column(dirs_ref, d)  # (bc, D) +-1
-        go_right = (direction + 1.0) * 0.5
-        start = tuple(blend(go_right, r, l) for l, r in zip(left, right))
-        nleaf = jnp.left_shift(jnp.asarray(1, jnp.int32), d)
-        base = nleaf - 1  # static u_leaf stream offset
+        def leapfrog(q, p, g, d_eps):
+            p1 = p - 0.5 * d_eps * g
+            q1 = q + d_eps * (im * p1)
+            u1, g1 = pot_grad(q1)
+            p1 = p1 - 0.5 * d_eps * g1
+            return q1, p1, u1, g1
 
-        ck_p[:] = jnp.zeros(ck_p.shape, ck_p.dtype)
-        ck_s[:] = jnp.zeros(ck_s.shape, ck_s.dtype)
+        q0 = q_ref[:]
+        g0 = g_ref[:]
+        u0 = rep(u0_ref[:])
+        if internal_prng:
+            # Per-block, per-transition stream: seed once, then draw the
+            # momentum (Box-Muller) and the direction/acceptance/leaf
+            # uniforms on-chip.
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919)
+            v1 = _uniform_from_bits(pltpu.prng_random_bits((bc, dim)))
+            v2 = _uniform_from_bits(pltpu.prng_random_bits((bc, dim)))
+            z = jnp.sqrt(-2.0 * jnp.log(v1)) * jnp.cos(2.0 * jnp.pi * v2)
+            p0 = jnp.sqrt(1.0 / im) * z
+            dirs_vals = jnp.where(
+                _uniform_from_bits(
+                    pltpu.prng_random_bits((bc, max_exp))
+                ) < 0.5,
+                -1.0,
+                1.0,
+            )
+            ubias_vals = _uniform_from_bits(
+                pltpu.prng_random_bits((bc, max_exp))
+            )
+            uleaf_vals = _uniform_from_bits(
+                pltpu.prng_random_bits((bc, 2**max_exp))
+            )
+        else:
+            p0 = p_ref[:]
+            dirs_vals = dirs_ref[:]
+            ubias_vals = ubias_ref[:]
+            uleaf_vals = uleaf_ref[:]
+        e0 = u0 + ke(p0)
 
-        # subtree carry: i, last(q,p,U,g), sprop(q,U,g,energy,weight,slpa),
-        #                sub_psum, s_active, s_div, s_term, s_len
-        sq, sp_, su, sg = start
-        sub_init = (
+        def turning(p_l, p_r, rho_sum):
+            rho = rho_sum - (p_r + p_l) * 0.5
+            t_l = rep(
+                jnp.sum(im * p_l * rho, axis=-1, keepdims=True)
+            ) <= 0
+            t_r = rep(
+                jnp.sum(im * p_r * rho, axis=-1, keepdims=True)
+            ) <= 0
+            return (t_l | t_r).astype(jnp.float32)
+
+        # derive carry inits from loaded data, not literals (see module
+        # docstring)
+        zero = q0 * 0.0
+        one_m = zero + 1.0
+        neg_inf_v = zero + NEG_INF
+
+        # carry: d, prop(q,U,g,energy,weight,slpa), L(q,p,U,g), R(q,p,U,g),
+        #        psum, active, div, turn, accept, leaves, doublings
+        init = (
             jnp.asarray(0, jnp.int32),
-            (sq, sp_, su, sg),
-            (sq, su, sg, e0, zero, neg_inf_v),
-            psum * 0.0, active, zero, zero, zero,
+            (q0, u0, g0, e0, zero, neg_inf_v),
+            (q0, p0, u0, g0), (q0, p0, u0, g0),
+            p0, one_m, zero, zero, zero, zero, zero,
         )
 
-        def sub_cond(sc):
-            return (sc[0] < nleaf) & jnp.any(sc[4] > 0.5)
+        def outer_cond(c):
+            d = c[0]
+            active = c[5]
+            return (d < max_exp) & jnp.any(active > 0.5)
 
-        def sub_body(sc):
-            (i, last, sprop, s_psum, s_active, s_div, s_term, s_len) = sc
+        def outer_body(c):
+            (d, prop, left, right, psum, active, div, turn,
+             accept, leaves, doublings) = c
+            direction = _column(dirs_vals, d)  # (bc, D) +-1
+            go_right = (direction + 1.0) * 0.5
+            start = tuple(
+                blend(go_right, r, l) for l, r in zip(left, right)
+            )
+            nleaf = jnp.left_shift(jnp.asarray(1, jnp.int32), d)
+            base = nleaf - 1  # static u_leaf stream offset
+
+            # subtree carry: i, last(q,p,U,g),
+            #                sprop(q,U,g,energy,weight,slpa),
+            #                sub_psum, s_active, s_div, s_term, s_len
+            sq, sp_, su, sg = start
+            sub_init = (
+                jnp.asarray(0, jnp.int32),
+                (sq, sp_, su, sg),
+                (sq, su, sg, e0, zero, neg_inf_v),
+                psum * 0.0, active, zero, zero, zero,
+            )
+
+            def sub_cond(sc):
+                return (sc[0] < nleaf) & jnp.any(sc[4] > 0.5)
+
+            def sub_body(sc):
+                (i, last, sprop, s_psum, s_active, s_div, s_term,
+                 s_len) = sc
+                lq, lp, lu, lg = last
+                nq, np_, nu, ng = leapfrog(lq, lp, lg, direction * eps)
+                energy = jnp.clip(nu + ke(np_), NEG_INF, -NEG_INF)
+                delta = e0 - energy
+                delta = jnp.clip(
+                    jnp.where(jnp.isnan(delta), NEG_INF, delta),
+                    NEG_INF, -NEG_INF,
+                )
+                leaf_div = (
+                    jnp.abs(delta) > divergence_threshold
+                ).astype(jnp.float32)
+                leaf_w = delta
+                leaf_slpa = jnp.minimum(delta, 0.0)
+
+                # progressive-uniform merge (leaf 0 seeds the proposal)
+                u_rand = _column(uleaf_vals, base + i)
+                p_acc = jax.nn.sigmoid(leaf_w - sprop[4])
+                p_acc = jnp.where(jnp.isnan(p_acc), 0.0, p_acc)
+                take = jnp.where(
+                    i == 0, one_m, (u_rand < p_acc).astype(jnp.float32)
+                )
+                m_w = jnp.where(
+                    i == 0, leaf_w, jnp.logaddexp(sprop[4], leaf_w)
+                )
+                m_slpa = jnp.where(
+                    i == 0, leaf_slpa, jnp.logaddexp(sprop[5], leaf_slpa)
+                )
+                new_sprop = (
+                    blend(take, nq, sprop[0]),
+                    blend(take, nu, sprop[1]),
+                    blend(take, ng, sprop[2]),
+                    blend(take, energy, sprop[3]),
+                    m_w,
+                    m_slpa,
+                )
+
+                new_psum = s_psum + np_
+
+                idx_max = _popcount_scalar(i >> 1)
+                idx_min = idx_max - _trailing_ones_scalar(i) + 1
+
+                # Checkpoint write at even leaves: one dynamic (bc, 1, D)
+                # slot store.  Unmasked on purpose — inactive chains'
+                # rows are garbage-but-unread: their term/div flags are
+                # latched by the `pick(·, old)` blends below and the
+                # buffers hold no cross-subtree state (each subtree
+                # writes every slot it later reads).
+                @pl.when(jnp.equal(i % 2, 0))
+                def _():
+                    ck_p[:, pl.ds(idx_max, 1), :] = np_[:, None, :]
+                    ck_s[:, pl.ds(idx_max, 1), :] = new_psum[:, None, :]
+
+                # U-turn check at odd leaves: walk only the live slot
+                # range [idx_min, idx_max].  At even leaves hi == lo and
+                # the loop body never runs.
+                lo = idx_min
+                hi = jnp.where(jnp.equal(i % 2, 1), idx_max + 1, idx_min)
+
+                def check_body(j, t_acc):
+                    pj = ck_p[:, pl.ds(j, 1), :][:, 0, :]
+                    sj = ck_s[:, pl.ds(j, 1), :][:, 0, :]
+                    rho_sum = new_psum - sj + pj
+                    rho = rho_sum - (pj + np_) * 0.5
+                    t_l = rep(jnp.sum(
+                        im * pj * rho, axis=-1, keepdims=True
+                    )) <= 0
+                    t_r = rep(jnp.sum(
+                        im * np_ * rho, axis=-1, keepdims=True
+                    )) <= 0
+                    return jnp.maximum(
+                        t_acc, (t_l | t_r).astype(jnp.float32)
+                    )
+
+                term = jax.lax.fori_loop(lo, hi, check_body, zero)
+
+                keep = s_active
+                pick = lambda new, old: blend(keep, new, old)  # noqa: E731
+                out_last = tuple(
+                    pick(n, o) for n, o in zip((nq, np_, nu, ng), last)
+                )
+                out_sprop = tuple(
+                    pick(n, o) for n, o in zip(new_sprop, sprop)
+                )
+                out_psum = pick(new_psum, s_psum)
+                out_len = s_len + keep
+                out_div = pick(leaf_div, s_div)
+                out_term = pick(term, s_term)
+                stop = jnp.minimum(leaf_div + term, 1.0)
+                out_active = s_active * (1.0 - stop)
+                return (i + 1, out_last, out_sprop, out_psum, out_active,
+                        out_div, out_term, out_len)
+
+            (_, last, sprop, s_psum, _, s_div, s_term, s_len) = (
+                jax.lax.while_loop(sub_cond, sub_body, sub_init)
+            )
+
             lq, lp, lu, lg = last
-            nq, np_, nu, ng = leapfrog(lq, lp, lg, direction * eps)
-            energy = jnp.clip(nu + ke(np_), NEG_INF, -NEG_INF)
-            delta = e0 - energy
-            delta = jnp.clip(
-                jnp.where(jnp.isnan(delta), NEG_INF, delta), NEG_INF, -NEG_INF
+            new_left = tuple(
+                blend(go_right, l, n)
+                for l, n in zip(left, (lq, lp, lu, lg))
             )
-            leaf_div = (jnp.abs(delta) > divergence_threshold).astype(
-                jnp.float32
+            new_right = tuple(
+                blend(go_right, n, r)
+                for n, r in zip((lq, lp, lu, lg), right)
             )
-            leaf_w = delta
-            leaf_slpa = jnp.minimum(delta, 0.0)
+            new_psum = psum + s_psum
+            new_accept = jnp.exp(sprop[5]) / jnp.maximum(s_len, 1.0)
 
-            # progressive-uniform merge (leaf 0 seeds the proposal)
-            u_rand = _column(uleaf_ref, base + i)
-            p_acc = jax.nn.sigmoid(leaf_w - sprop[4])
-            p_acc = jnp.where(jnp.isnan(p_acc), 0.0, p_acc)
-            take = jnp.where(
-                i == 0, one_m, (u_rand < p_acc).astype(jnp.float32)
-            )
-            m_w = jnp.where(i == 0, leaf_w, jnp.logaddexp(sprop[4], leaf_w))
-            m_slpa = jnp.where(
-                i == 0, leaf_slpa, jnp.logaddexp(sprop[5], leaf_slpa)
-            )
-            new_sprop = (
-                blend(take, nq, sprop[0]),
-                blend(take, nu, sprop[1]),
-                blend(take, ng, sprop[2]),
-                blend(take, energy, sprop[3]),
+            merged_slpa = jnp.logaddexp(sprop[5], prop[5])
+            clean = (1.0 - s_div) * (1.0 - s_term)
+            u_b = _column(ubias_vals, d)
+            p_acc = jnp.minimum(1.0, jnp.exp(sprop[4] - prop[4]))
+            take = clean * (u_b < p_acc).astype(jnp.float32)
+            m_w = blend(clean, jnp.logaddexp(prop[4], sprop[4]), prop[4])
+            new_prop = (
+                blend(take, sprop[0], prop[0]),
+                blend(take, sprop[1], prop[1]),
+                blend(take, sprop[2], prop[2]),
+                blend(take, sprop[3], prop[3]),
                 m_w,
-                m_slpa,
+                merged_slpa,
             )
 
-            new_psum = s_psum + np_
+            turn_f = turning(new_left[1], new_right[1], new_psum)
 
-            idx_max = _popcount_scalar(i >> 1)
-            idx_min = idx_max - _trailing_ones_scalar(i) + 1
-
-            @pl.when(jnp.equal(i % 2, 0))
-            def _():
-                rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, ck_p.shape[1], 1), 1
-                )
-                mask = (
-                    (rows == idx_max).astype(jnp.float32)
-                    * s_active[:, None, :]
-                )
-                ck_p[:] = mask * np_[:, None, :] + (1.0 - mask) * ck_p[:]
-                ck_s[:] = mask * new_psum[:, None, :] + (1.0 - mask) * ck_s[:]
-
-            slots = jax.lax.broadcasted_iota(jnp.int32, (1, ck_p.shape[1]), 1)
-            in_range = (slots >= idx_min) & (slots <= idx_max)
-            rho_sum = new_psum[:, None, :] - ck_s[:] + ck_p[:]
-            rho = rho_sum - (ck_p[:] + np_[:, None, :]) * 0.5
-            t_l = jnp.sum(im[None] * ck_p[:] * rho, axis=-1) <= 0
-            t_r = jnp.sum((im * np_)[:, None, :] * rho, axis=-1) <= 0
-            term = rep(jnp.any(
-                (t_l | t_r) & in_range, axis=-1, keepdims=True
-            ).astype(jnp.float32))
-            term = term * jnp.where(jnp.equal(i % 2, 1), 1.0, 0.0)
-
-            keep = s_active
+            keep = active
             pick = lambda new, old: blend(keep, new, old)  # noqa: E731
-            out_last = tuple(
-                pick(n, o) for n, o in zip((nq, np_, nu, ng), last)
+            stop_now = jnp.minimum(s_div + turn_f + s_term, 1.0)
+            out = (
+                d + 1,
+                tuple(pick(n, o) for n, o in zip(new_prop, prop)),
+                tuple(pick(n, o) for n, o in zip(new_left, left)),
+                tuple(pick(n, o) for n, o in zip(new_right, right)),
+                pick(new_psum, psum),
+                active * (1.0 - stop_now),
+                pick(s_div, div),
+                pick(turn_f, turn),
+                pick(new_accept, accept),
+                leaves + keep * s_len,
+                doublings + keep,
             )
-            out_sprop = tuple(pick(n, o) for n, o in zip(new_sprop, sprop))
-            out_psum = pick(new_psum, s_psum)
-            out_len = s_len + keep
-            out_div = pick(leaf_div, s_div)
-            out_term = pick(term, s_term)
-            stop = jnp.minimum(leaf_div + term, 1.0)
-            out_active = s_active * (1.0 - stop)
-            return (i + 1, out_last, out_sprop, out_psum, out_active,
-                    out_div, out_term, out_len)
+            return out
 
-        (_, last, sprop, s_psum, _, s_div, s_term, s_len) = (
-            jax.lax.while_loop(sub_cond, sub_body, sub_init)
+        (_, prop, _, _, _, _, div, turn, accept, leaves, doublings) = (
+            jax.lax.while_loop(outer_cond, outer_body, init)
         )
 
-        lq, lp, lu, lg = last
-        new_left = tuple(
-            blend(go_right, l, n) for l, n in zip(left, (lq, lp, lu, lg))
-        )
-        new_right = tuple(
-            blend(go_right, n, r) for n, r in zip((lq, lp, lu, lg), right)
-        )
-        new_psum = psum + s_psum
-        new_accept = jnp.exp(sprop[5]) / jnp.maximum(s_len, 1.0)
+        q_out[:] = prop[0]
+        u_out[:] = prop[1][:, 0:1]
+        g_out[:] = prop[2]
+        stats_out[:] = jnp.zeros(stats_out.shape, stats_out.dtype)
+        stats_out[:, 0:1] = prop[3][:, 0:1]  # energy of the proposal
+        stats_out[:, 1:2] = accept[:, 0:1]
+        stats_out[:, 2:3] = doublings[:, 0:1]
+        stats_out[:, 3:4] = leaves[:, 0:1]
+        stats_out[:, 4:5] = div[:, 0:1]
+        stats_out[:, 5:6] = turn[:, 0:1]
 
-        merged_slpa = jnp.logaddexp(sprop[5], prop[5])
-        clean = (1.0 - s_div) * (1.0 - s_term)
-        u_b = _column(ubias_ref, d)
-        p_acc = jnp.minimum(1.0, jnp.exp(sprop[4] - prop[4]))
-        take = clean * (u_b < p_acc).astype(jnp.float32)
-        m_w = blend(clean, jnp.logaddexp(prop[4], sprop[4]), prop[4])
-        new_prop = (
-            blend(take, sprop[0], prop[0]),
-            blend(take, sprop[1], prop[1]),
-            blend(take, sprop[2], prop[2]),
-            blend(take, sprop[3], prop[3]),
-            m_w,
-            merged_slpa,
-        )
+    return _kernel
 
-        turn_f = turning(new_left[1], new_right[1], new_psum)
 
-        keep = active
-        pick = lambda new, old: blend(keep, new, old)  # noqa: E731
-        stop_now = jnp.minimum(s_div + turn_f + s_term, 1.0)
-        out = (
-            d + 1,
-            tuple(pick(n, o) for n, o in zip(new_prop, prop)),
-            tuple(pick(n, o) for n, o in zip(new_left, left)),
-            tuple(pick(n, o) for n, o in zip(new_right, right)),
-            pick(new_psum, psum),
-            active * (1.0 - stop_now),
-            pick(s_div, div),
-            pick(turn_f, turn),
-            pick(new_accept, accept),
-            leaves + keep * s_len,
-            doublings + keep,
-        )
-        return out
+def _as_row(a):
+    """VMEM inputs want >= 2-D; lift scalars/vectors to one row."""
+    a = jnp.asarray(a, jnp.float32)
+    if a.ndim == 0:
+        return a.reshape(1, 1)
+    if a.ndim == 1:
+        return a.reshape(1, a.shape[0])
+    return a
 
-    (_, prop, _, _, _, _, div, turn, accept, leaves, doublings) = (
-        jax.lax.while_loop(outer_cond, outer_body, init)
+
+def _fused_call(pot_grad_builder, data: Sequence[jax.Array],
+                q, potential, grad, momentum, directions, u_bias, u_leaf,
+                inverse_mass, step_size, *, max_num_expansions: int,
+                divergence_threshold: float, block_chains: int,
+                interpret: bool, seed=None):
+    """``seed`` not None selects the in-kernel-PRNG variant: momentum/
+    directions/u_bias/u_leaf args are ignored and may be None."""
+    num_chains, dim = q.shape
+    K = max_num_expansions
+    lmax = 2**max_num_expansions
+    # the scalar bit helpers cover leaf indices < 2**15
+    assert max_num_expansions <= 14, "max_num_expansions > 14 unsupported"
+    internal_prng = seed is not None
+    if not internal_prng:
+        assert u_leaf.shape[1] >= lmax
+    block_chains = min(block_chains, num_chains)
+    assert num_chains % block_chains == 0
+    grid = (num_chains // block_chains,)
+
+    data = [_as_row(d) for d in data]
+    eps = jnp.asarray(step_size, jnp.float32).reshape(1)
+    im_row = inverse_mass.reshape(1, dim).astype(jnp.float32)
+
+    kernel = _make_kernel(
+        pot_grad_builder,
+        len(data),
+        max_exp=max_num_expansions,
+        divergence_threshold=divergence_threshold,
+        internal_prng=internal_prng,
     )
+    row = lambda cols: pl.BlockSpec(  # noqa: E731
+        (block_chains, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    fixed = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, (lambda i: (0,) * len(shape)), memory_space=pltpu.VMEM
+    )
+    state_specs = [row(dim), row(1), row(dim)]
+    state_args = [
+        q.astype(jnp.float32),
+        potential.reshape(num_chains, 1).astype(jnp.float32),
+        grad.astype(jnp.float32),
+    ]
+    if internal_prng:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            *state_specs,
+        ]
+        in_args = [
+            eps, jnp.asarray(seed, jnp.int32).reshape(1), *state_args,
+        ]
+    else:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            *state_specs,
+            row(dim), row(K), row(K), row(lmax),
+        ]
+        in_args = [
+            eps, *state_args,
+            momentum.astype(jnp.float32),
+            directions.astype(jnp.float32),
+            u_bias.astype(jnp.float32),
+            u_leaf.astype(jnp.float32),
+        ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            *in_specs,
+            *[fixed(*d.shape) for d in data],
+            fixed(1, dim),
+        ],
+        out_specs=[row(dim), row(1), row(dim), row(8)],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_chains, dim), jnp.float32),
+            jax.ShapeDtypeStruct((num_chains, 1), jnp.float32),
+            jax.ShapeDtypeStruct((num_chains, dim), jnp.float32),
+            jax.ShapeDtypeStruct((num_chains, 8), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_chains, K, dim), jnp.float32),
+            pltpu.VMEM((block_chains, K, dim), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # big chain blocks legitimately use most of VMEM; the default
+            # limit rejects block_chains > 256
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*in_args, *data, im_row)
 
-    q_out[:] = prop[0]
-    u_out[:] = prop[1][:, 0:1]
-    g_out[:] = prop[2]
-    stats_out[:] = jnp.zeros(stats_out.shape, stats_out.dtype)
-    stats_out[:, 0:1] = prop[3][:, 0:1]  # energy of the proposal
-    stats_out[:, 1:2] = accept[:, 0:1]
-    stats_out[:, 2:3] = doublings[:, 0:1]
-    stats_out[:, 3:4] = leaves[:, 0:1]
-    stats_out[:, 4:5] = div[:, 0:1]
-    stats_out[:, 5:6] = turn[:, 0:1]
+
+def make_fused_nuts_transition(
+    potential_fn: Callable,
+    data: Sequence[jax.Array] = (),
+    *,
+    max_num_expansions: int = 6,
+    divergence_threshold: float = 1000.0,
+    block_chains: int = 128,
+    interpret: bool = False,
+) -> Callable:
+    """GENERIC fused NUTS transition for any in-kernel-computable potential.
+
+    ``potential_fn(q, *data) -> (bc,)`` is a *batched* potential over a
+    chain block, written in plain jnp; it is traced into the Pallas kernel
+    and differentiated in-kernel via ``jax.vjp`` (one forward + one
+    backward per leaf — the cached-gradient invariant of the reference,
+    ref integrators.py:64-66, holds).  ``data`` arrays are staged to VMEM
+    and must fit on-chip (~16 MB total with all state); 0-/1-D arrays are
+    passed to ``potential_fn`` as (1, n) rows.
+
+    Returns ``transition(q, potential, grad, momentum, directions, u_bias,
+    u_leaf, inverse_mass, step_size, seed=None) -> (q', U', grad', stats)``
+    with stats columns ``[energy, accept_prob, num_doublings, num_leaves,
+    diverging, turning]``.  Pass ``seed`` (per-transition int32) to use
+    in-kernel PRNG instead of the randomness arguments.
+    """
+
+    def pot_grad_builder(*data_vals):
+        def pot_grad(q):
+            u, pullback = jax.vjp(
+                lambda qq: potential_fn(qq, *data_vals), q
+            )
+            (g,) = pullback(jnp.ones_like(u))
+            return u, g
+
+        return pot_grad
+
+    def transition(q, potential, grad, momentum, directions, u_bias,
+                   u_leaf, inverse_mass, step_size, seed=None):
+        return _fused_call(
+            pot_grad_builder, data,
+            q, potential, grad, momentum, directions, u_bias, u_leaf,
+            inverse_mass, step_size,
+            max_num_expansions=max_num_expansions,
+            divergence_threshold=divergence_threshold,
+            block_chains=block_chains,
+            interpret=interpret,
+            seed=seed,
+        )
+
+    return transition
+
+
+def _logistic_pot_grad_builder(prior_precision: float, matmul_dtype):
+    def builder(X, XT, y_row):
+        def pot_grad(q):
+            logits = jax.lax.dot_general(
+                q.astype(matmul_dtype), XT.astype(matmul_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (BC, N)
+            sp = jnp.maximum(logits, 0.0) + jnp.log1p(
+                jnp.exp(-jnp.abs(logits))
+            )
+            loglik = jnp.sum(
+                y_row * logits - sp, axis=-1, keepdims=True
+            )
+            resid = jax.nn.sigmoid(logits) - y_row
+            g = jax.lax.dot_general(
+                resid.astype(matmul_dtype), X.astype(matmul_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + prior_precision * q
+            u = -loglik + 0.5 * prior_precision * jnp.sum(
+                q * q, axis=-1, keepdims=True
+            )
+            return u, g
+
+        return pot_grad
+
+    return builder
 
 
 def fused_nuts_transition(
@@ -327,80 +614,127 @@ def fused_nuts_transition(
     prior_precision: float = 1.0,
     block_chains: int = 128,
     interpret: bool = False,
+    matmul_dtype=jnp.float32,
+    seed=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Run one fused NUTS transition per chain.
+    """Run one fused NUTS transition per chain (logistic-regression family).
 
     q/grad/momentum: (chains, dim); potential: (chains, 1);
     directions/u_bias: (chains, max_num_expansions) with directions in
     {-1, +1}; u_leaf: (chains, 2**max_num_expansions) uniforms.
 
+    ``matmul_dtype=jnp.bfloat16`` runs the gradient matmuls as bf16 MXU
+    passes with f32 accumulation (the Metropolis correction absorbs the
+    rounding — same argument as the XLA path's default precision).  Keep
+    f32 for exact-oracle comparisons.  ``seed`` selects in-kernel PRNG
+    (see :func:`make_fused_nuts_transition`).
+
     Returns ``(q', U', grad', stats)`` with stats columns
-    ``[energy, accept_prob, num_doublings, num_leaves, diverging, turning]``.
+    ``[energy, accept_prob, num_doublings, num_leaves, diverging,
+    turning]``.
     """
-    num_chains, dim = q.shape
     num_points = X.shape[0]
-    K = max_num_expansions
-    lmax = 2**max_num_expansions
-    # the scalar bit helpers cover leaf indices < 2**15
-    assert max_num_expansions <= 14, "max_num_expansions > 14 unsupported"
-    assert u_leaf.shape[1] >= lmax
-    block_chains = min(block_chains, num_chains)
-    assert num_chains % block_chains == 0
-    grid = (num_chains // block_chains,)
-
-    eps = jnp.asarray(step_size, jnp.float32).reshape(1)
     y_row = y.reshape(1, num_points).astype(jnp.float32)
-    im_row = inverse_mass.reshape(1, dim).astype(jnp.float32)
-    XT = X.T
-
-    kernel = functools.partial(
-        _kernel,
-        max_exp=max_num_expansions,
+    builder = _logistic_pot_grad_builder(prior_precision, matmul_dtype)
+    return _fused_call(
+        builder, [X, X.T, y_row],
+        q, potential, grad, momentum, directions, u_bias, u_leaf,
+        inverse_mass, step_size,
+        max_num_expansions=max_num_expansions,
         divergence_threshold=divergence_threshold,
-        prior_precision=prior_precision,
-    )
-    row = lambda cols: pl.BlockSpec(  # noqa: E731
-        (block_chains, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    fixed = lambda *shape: pl.BlockSpec(  # noqa: E731
-        shape, (lambda i: (0,) * len(shape)), memory_space=pltpu.VMEM
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            row(dim), row(1), row(dim), row(dim),
-            row(K), row(K), row(lmax),
-            fixed(num_points, dim), fixed(dim, num_points),
-            fixed(1, num_points), fixed(1, dim),
-        ],
-        out_specs=[row(dim), row(1), row(dim), row(8)],
-        out_shape=[
-            jax.ShapeDtypeStruct((num_chains, dim), jnp.float32),
-            jax.ShapeDtypeStruct((num_chains, 1), jnp.float32),
-            jax.ShapeDtypeStruct((num_chains, dim), jnp.float32),
-            jax.ShapeDtypeStruct((num_chains, 8), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_chains, K, dim), jnp.float32),
-            pltpu.VMEM((block_chains, K, dim), jnp.float32),
-        ],
+        block_chains=block_chains,
         interpret=interpret,
-    )(
-        eps,
-        q.astype(jnp.float32),
-        potential.reshape(num_chains, 1).astype(jnp.float32),
-        grad.astype(jnp.float32),
-        momentum.astype(jnp.float32),
-        directions.astype(jnp.float32),
-        u_bias.astype(jnp.float32),
-        u_leaf.astype(jnp.float32),
-        X.astype(jnp.float32),
-        XT.astype(jnp.float32),
-        y_row,
-        im_row,
+        seed=seed,
     )
+
+
+def sample_fused(
+    rng_key: jax.Array,
+    potential_fn: Callable,
+    data: Sequence[jax.Array],
+    initial_positions: jax.Array,
+    num_samples: int,
+    step_size: jax.Array,
+    inverse_mass: jax.Array,
+    max_num_expansions: int = 6,
+    divergence_threshold: float = 1000.0,
+    block_chains: int = 128,
+    collect_positions: bool = True,
+    internal_prng: bool = False,
+):
+    """Sampling loop over the GENERIC fused transition.
+
+    ``potential_fn(q, *data) -> (chains,)`` batched potential (see
+    :func:`make_fused_nuts_transition`; 1-D data arrays reach it as (1, n)
+    rows both inside and outside the kernel).  With ``internal_prng`` all
+    randomness is drawn on-chip from per-transition seeds; otherwise it is
+    drawn with ``jax.random`` outside the kernel.  One ``lax.scan`` over
+    draws.  Returns ``(final_positions, positions, stats_history)``.
+    """
+    num_chains, dim = initial_positions.shape
+    lmax = 2**max_num_expansions
+    mass_sqrt = jnp.sqrt(1.0 / inverse_mass)
+    rows = [_as_row(d) for d in data]
+
+    transition = make_fused_nuts_transition(
+        potential_fn, data,
+        max_num_expansions=max_num_expansions,
+        divergence_threshold=divergence_threshold,
+        block_chains=block_chains,
+    )
+
+    u0, pull = jax.vjp(
+        lambda qq: potential_fn(qq, *rows),
+        initial_positions.astype(jnp.float32),
+    )
+    (g0,) = pull(jnp.ones_like(u0))
+    u0 = u0.reshape(num_chains, 1)
+
+    if internal_prng:
+
+        def one_seeded(carry, seed):
+            q, u, g = carry
+            qn, un, gn, stats = transition(
+                q, u, g, None, None, None, None, inverse_mass, step_size,
+                seed=seed,
+            )
+            out = qn if collect_positions else None
+            return (qn, un, gn), (out, stats)
+
+        seeds = jax.random.randint(
+            rng_key, (num_samples,), 0, jnp.iinfo(jnp.int32).max,
+            dtype=jnp.int32,
+        )
+        (qf, _, _), (positions, stats) = jax.lax.scan(
+            one_seeded, (initial_positions.astype(jnp.float32), u0, g0),
+            seeds,
+        )
+        return qf, positions, stats
+
+    def one(carry, k):
+        q, u, g = carry
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        p = mass_sqrt * jax.random.normal(
+            k1, (num_chains, dim), jnp.float32
+        )
+        dirs = jnp.where(
+            jax.random.uniform(k2, (num_chains, max_num_expansions)) < 0.5,
+            -1.0,
+            1.0,
+        )
+        ub = jax.random.uniform(k3, (num_chains, max_num_expansions))
+        ul = jax.random.uniform(k4, (num_chains, lmax))
+        qn, un, gn, stats = transition(
+            q, u, g, p, dirs, ub, ul, inverse_mass, step_size
+        )
+        out = qn if collect_positions else None
+        return (qn, un, gn), (out, stats)
+
+    keys = jax.random.split(rng_key, num_samples)
+    (qf, _, _), (positions, stats) = jax.lax.scan(
+        one, (initial_positions.astype(jnp.float32), u0, g0), keys
+    )
+    return qf, positions, stats
 
 
 def sample_fused_logistic(
@@ -416,13 +750,18 @@ def sample_fused_logistic(
     prior_precision: float = 1.0,
     block_chains: int = 128,
     collect_positions: bool = True,
+    matmul_dtype=jnp.bfloat16,
+    internal_prng: bool = False,
 ):
     """Sampling loop over the fused transition (logistic-regression family).
 
-    Draws each transition's randomness with ``jax.random`` outside the
-    kernel; one ``lax.scan`` over draws.  Returns ``(final_positions,
-    positions, stats_history)`` where stats columns are
-    ``[energy, accept, doublings, leaves, diverging, turning]``.
+    With ``internal_prng`` all randomness is drawn on-chip from
+    per-transition seeds; otherwise it is drawn with ``jax.random``
+    outside the kernel.  One ``lax.scan`` over draws.  Returns
+    ``(final_positions, positions, stats_history)`` where stats columns
+    are ``[energy, accept, doublings, leaves, diverging, turning]``.
+    Matmuls default to bf16 MXU passes (see
+    :func:`fused_nuts_transition`).
     """
     num_chains, dim = initial_positions.shape
     lmax = 2**max_num_expansions
@@ -441,6 +780,29 @@ def sample_fused_logistic(
 
     u0, g0 = potential_and_grad(initial_positions)
 
+    if internal_prng:
+
+        def one_seeded(carry, seed):
+            q, u, g = carry
+            qn, un, gn, stats = fused_nuts_transition(
+                q, u, g, None, None, None, None, X, y, inverse_mass,
+                step_size, max_num_expansions, divergence_threshold,
+                prior_precision, block_chains, matmul_dtype=matmul_dtype,
+                seed=seed,
+            )
+            out = qn if collect_positions else None
+            return (qn, un, gn), (out, stats)
+
+        seeds = jax.random.randint(
+            rng_key, (num_samples,), 0, jnp.iinfo(jnp.int32).max,
+            dtype=jnp.int32,
+        )
+        (qf, _, _), (positions, stats) = jax.lax.scan(
+            one_seeded, (initial_positions.astype(jnp.float32), u0, g0),
+            seeds,
+        )
+        return qf, positions, stats
+
     def one(carry, k):
         q, u, g = carry
         k1, k2, k3, k4 = jax.random.split(k, 4)
@@ -455,7 +817,7 @@ def sample_fused_logistic(
         qn, un, gn, stats = fused_nuts_transition(
             q, u, g, p, dirs, ub, ul, X, y, inverse_mass,
             step_size, max_num_expansions, divergence_threshold,
-            prior_precision, block_chains,
+            prior_precision, block_chains, matmul_dtype=matmul_dtype,
         )
         out = qn if collect_positions else None
         return (qn, un, gn), (out, stats)
