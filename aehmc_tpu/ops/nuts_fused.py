@@ -88,20 +88,301 @@ def _uniform_from_bits(bits):
     return (top24.astype(jnp.float32) + 1.0) * (1.0 / 16777216.0)
 
 
+
+def _transition_core(q0, u0_col, g0, p0, dirs_vals, ubias_vals, uleaf_vals,
+                     im, eps, raw_pot_grad, ck_p, ck_s, *, max_exp: int,
+                     divergence_threshold: float):
+    """One complete NUTS transition on in-VMEM values.
+
+    Shared by the per-transition kernel and the fully-fused sampling-loop
+    kernel.  ``u0_col`` is (bc, 1); all other chain-state arrays are
+    (bc, dim).  Returns ``(prop, div, turn, accept, leaves, doublings)``
+    with ``prop = (q, U_rep, g, energy_rep, weight, slpa)``.
+    """
+    dim = q0.shape[1]
+    ones_row = jnp.ones((1, dim), jnp.float32)
+
+    def rep(x):
+        # lane-replicate a (bc, 1) reduction output to (bc, D)
+        return x * ones_row
+
+    def blend(m, a, b):
+        return m * a + (1.0 - m) * b
+
+    def _column(vals, j):
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, vals.shape[1]), 1)
+        picked = jnp.sum(
+            jnp.where(cols == j, vals, 0.0), axis=1, keepdims=True
+        )
+        return rep(picked)
+
+    def pot_grad(q):
+        u, g = raw_pot_grad(q)
+        if u.ndim == 1:
+            u = u[:, None]
+        u = rep(u)
+        # finite clamps: masked blends compute 0 * x, NaN-poisoned by +-inf
+        u = jnp.clip(jnp.where(jnp.isnan(u), -NEG_INF, u), NEG_INF, -NEG_INF)
+        g = jnp.clip(jnp.where(jnp.isnan(g), 0.0, g), NEG_INF, -NEG_INF)
+        return u, g
+
+    def ke(p):
+        return rep(0.5 * jnp.sum(im * p * p, axis=-1, keepdims=True))
+
+    def leapfrog(q, p, g, d_eps):
+        p1 = p - 0.5 * d_eps * g
+        q1 = q + d_eps * (im * p1)
+        u1, g1 = pot_grad(q1)
+        p1 = p1 - 0.5 * d_eps * g1
+        return q1, p1, u1, g1
+
+    u0 = rep(u0_col)
+    e0 = u0 + ke(p0)
+
+    def turning(p_l, p_r, rho_sum):
+        rho = rho_sum - (p_r + p_l) * 0.5
+        t_l = rep(jnp.sum(im * p_l * rho, axis=-1, keepdims=True)) <= 0
+        t_r = rep(jnp.sum(im * p_r * rho, axis=-1, keepdims=True)) <= 0
+        return (t_l | t_r).astype(jnp.float32)
+
+    # derive carry inits from loaded data, not literals (see module
+    # docstring)
+    zero = q0 * 0.0
+    one_m = zero + 1.0
+    neg_inf_v = zero + NEG_INF
+
+    # one transcendental pass over the whole per-leaf uniform stream
+    # instead of a sigmoid per leaf (see the progressive-uniform merge)
+    uleaf_logit_vals = jnp.log(uleaf_vals) - jnp.log1p(-uleaf_vals)
+
+    # carry: d, prop(q,U,g,energy,weight,slpa), L(q,p,U,g), R(q,p,U,g),
+    #        psum, active, div, turn, accept, leaves, doublings
+    init = (
+        jnp.asarray(0, jnp.int32),
+        (q0, u0, g0, e0, zero, neg_inf_v),
+        (q0, p0, u0, g0), (q0, p0, u0, g0),
+        p0, one_m, zero, zero, zero, zero, zero,
+    )
+
+    def outer_cond(c):
+        d = c[0]
+        active = c[5]
+        return (d < max_exp) & jnp.any(active > 0.5)
+
+    def outer_body(c):
+        (d, prop, left, right, psum, active, div, turn,
+         accept, leaves, doublings) = c
+        direction = _column(dirs_vals, d)  # (bc, D) +-1
+        go_right = (direction + 1.0) * 0.5
+        start = tuple(blend(go_right, r, l) for l, r in zip(left, right))
+        nleaf = jnp.left_shift(jnp.asarray(1, jnp.int32), d)
+        base = nleaf - 1  # static u_leaf stream offset
+
+        # subtree carry: i, last(q,p,U,g), sprop(q,U,g,energy,weight,slpa),
+        #                sub_psum, s_active, s_div, s_term, s_len
+        sq, sp_, su, sg = start
+        sub_init = (
+            jnp.asarray(0, jnp.int32),
+            (sq, sp_, su, sg),
+            (sq, su, sg, e0, zero, neg_inf_v),
+            psum * 0.0, active, zero, zero, zero,
+        )
+
+        def sub_cond(sc):
+            return (sc[0] < nleaf) & jnp.any(sc[4] > 0.5)
+
+        def sub_body(sc):
+            (i, last, sprop, s_psum, s_active, s_div, s_term, s_len) = sc
+            lq, lp, lu, lg = last
+            nq, np_, nu, ng = leapfrog(lq, lp, lg, direction * eps)
+            energy = jnp.clip(nu + ke(np_), NEG_INF, -NEG_INF)
+            delta = e0 - energy
+            delta = jnp.clip(
+                jnp.where(jnp.isnan(delta), NEG_INF, delta),
+                NEG_INF, -NEG_INF,
+            )
+            leaf_div = (
+                jnp.abs(delta) > divergence_threshold
+            ).astype(jnp.float32)
+            leaf_w = delta
+            leaf_slpa = jnp.minimum(delta, 0.0)
+
+            # progressive-uniform merge (leaf 0 seeds the proposal).
+            # Compare in logit space: u < sigmoid(x) <=> logit(u) < x, so
+            # the per-leaf sigmoid disappears (the logits of the whole
+            # uniform stream are precomputed once per transition); NaN
+            # weight deltas compare False = reject, matching the sigmoid
+            # path's NaN->0.
+            u_logit = _column(uleaf_logit_vals, base + i)
+            take = jnp.where(
+                i == 0, one_m,
+                (u_logit < leaf_w - sprop[4]).astype(jnp.float32),
+            )
+            m_w = jnp.where(i == 0, leaf_w, jnp.logaddexp(sprop[4], leaf_w))
+            m_slpa = jnp.where(
+                i == 0, leaf_slpa, jnp.logaddexp(sprop[5], leaf_slpa)
+            )
+
+            new_psum = s_psum + np_
+
+            idx_max = _popcount_scalar(i >> 1)
+            idx_min = idx_max - _trailing_ones_scalar(i) + 1
+
+            # Checkpoint write at even leaves: one dynamic (bc, 1, D)
+            # slot store.  Unmasked on purpose — inactive chains' rows
+            # are garbage-but-unread: their term/div flags are latched by
+            # the `pick(·, old)` blends below and the buffers hold no
+            # cross-subtree state (each subtree writes every slot it
+            # later reads).
+            @pl.when(jnp.equal(i % 2, 0))
+            def _():
+                ck_p[:, pl.ds(idx_max, 1), :] = np_[:, None, :]
+                ck_s[:, pl.ds(idx_max, 1), :] = new_psum[:, None, :]
+
+            # U-turn check at odd leaves: walk only the live slot range
+            # [idx_min, idx_max].  At even leaves hi == lo and the loop
+            # body never runs.
+            lo = idx_min
+            hi = jnp.where(jnp.equal(i % 2, 1), idx_max + 1, idx_min)
+
+            def check_body(j, t_acc):
+                pj = ck_p[:, pl.ds(j, 1), :][:, 0, :]
+                sj = ck_s[:, pl.ds(j, 1), :][:, 0, :]
+                rho_sum = new_psum - sj + pj
+                rho = rho_sum - (pj + np_) * 0.5
+                t_l = rep(jnp.sum(
+                    im * pj * rho, axis=-1, keepdims=True
+                )) <= 0
+                t_r = rep(jnp.sum(
+                    im * np_ * rho, axis=-1, keepdims=True
+                )) <= 0
+                return jnp.maximum(t_acc, (t_l | t_r).astype(jnp.float32))
+
+            term = jax.lax.fori_loop(lo, hi, check_body, zero)
+
+            keep = s_active
+            pick = lambda new, old: blend(keep, new, old)  # noqa: E731
+            out_last = tuple(
+                pick(n, o) for n, o in zip((nq, np_, nu, ng), last)
+            )
+            # fused proposal select: blend(keep, blend(take, a, b), b)
+            # == blend(keep*take, a, b), halving the state blends
+            take_eff = keep * take
+            out_sprop = (
+                blend(take_eff, nq, sprop[0]),
+                blend(take_eff, nu, sprop[1]),
+                blend(take_eff, ng, sprop[2]),
+                blend(take_eff, energy, sprop[3]),
+                pick(m_w, sprop[4]),
+                pick(m_slpa, sprop[5]),
+            )
+            # inactive chains carry s_div == s_term == 0 while stopped
+            # flags latch via keep, so madd replaces the full blends
+            out_psum = s_psum + keep * np_
+            out_len = s_len + keep
+            out_div = s_div + keep * leaf_div
+            out_term = s_term + keep * term
+            stop = jnp.minimum(leaf_div + term, 1.0)
+            out_active = s_active * (1.0 - stop)
+            return (i + 1, out_last, out_sprop, out_psum, out_active,
+                    out_div, out_term, out_len)
+
+        (_, last, sprop, s_psum, _, s_div, s_term, s_len) = (
+            jax.lax.while_loop(sub_cond, sub_body, sub_init)
+        )
+
+        lq, lp, lu, lg = last
+        new_left = tuple(
+            blend(go_right, l, n) for l, n in zip(left, (lq, lp, lu, lg))
+        )
+        new_right = tuple(
+            blend(go_right, n, r) for n, r in zip((lq, lp, lu, lg), right)
+        )
+        new_psum = psum + s_psum
+        new_accept = jnp.exp(sprop[5]) / jnp.maximum(s_len, 1.0)
+
+        merged_slpa = jnp.logaddexp(sprop[5], prop[5])
+        clean = (1.0 - s_div) * (1.0 - s_term)
+        u_b = _column(ubias_vals, d)
+        p_acc = jnp.minimum(1.0, jnp.exp(sprop[4] - prop[4]))
+        take = clean * (u_b < p_acc).astype(jnp.float32)
+        m_w = blend(clean, jnp.logaddexp(prop[4], sprop[4]), prop[4])
+        new_prop = (
+            blend(take, sprop[0], prop[0]),
+            blend(take, sprop[1], prop[1]),
+            blend(take, sprop[2], prop[2]),
+            blend(take, sprop[3], prop[3]),
+            m_w,
+            merged_slpa,
+        )
+
+        turn_f = turning(new_left[1], new_right[1], new_psum)
+
+        keep = active
+        pick = lambda new, old: blend(keep, new, old)  # noqa: E731
+        stop_now = jnp.minimum(s_div + turn_f + s_term, 1.0)
+        out = (
+            d + 1,
+            tuple(pick(n, o) for n, o in zip(new_prop, prop)),
+            tuple(pick(n, o) for n, o in zip(new_left, left)),
+            tuple(pick(n, o) for n, o in zip(new_right, right)),
+            pick(new_psum, psum),
+            active * (1.0 - stop_now),
+            pick(s_div, div),
+            pick(turn_f, turn),
+            pick(new_accept, accept),
+            leaves + keep * s_len,
+            doublings + keep,
+        )
+        return out
+
+    (_, prop, _, _, _, _, div, turn, accept, leaves, doublings) = (
+        jax.lax.while_loop(outer_cond, outer_body, init)
+    )
+    return prop, div, turn, accept, leaves, doublings
+
+
+def _draw_randomness(bc, dim, max_exp, im):
+    """In-kernel randomness for one transition: momentum (Box-Muller),
+    directions, per-doubling and per-leaf uniforms.  The PRNG must have
+    been seeded by the caller."""
+    v1 = _uniform_from_bits(pltpu.prng_random_bits((bc, dim)))
+    v2 = _uniform_from_bits(pltpu.prng_random_bits((bc, dim)))
+    z = jnp.sqrt(-2.0 * jnp.log(v1)) * jnp.cos(2.0 * jnp.pi * v2)
+    p0 = jnp.sqrt(1.0 / im) * z
+    dirs_vals = jnp.where(
+        _uniform_from_bits(pltpu.prng_random_bits((bc, max_exp))) < 0.5,
+        -1.0,
+        1.0,
+    )
+    ubias_vals = _uniform_from_bits(pltpu.prng_random_bits((bc, max_exp)))
+    uleaf_vals = _uniform_from_bits(
+        pltpu.prng_random_bits((bc, 2**max_exp))
+    )
+    return p0, dirs_vals, ubias_vals, uleaf_vals
+
+
+def _write_stats(stats_ref, prop, accept, doublings, leaves, div, turn):
+    stats_ref[:] = jnp.zeros(stats_ref.shape, stats_ref.dtype)
+    stats_ref[:, 0:1] = prop[3][:, 0:1]  # energy of the proposal
+    stats_ref[:, 1:2] = accept[:, 0:1]
+    stats_ref[:, 2:3] = doublings[:, 0:1]
+    stats_ref[:, 3:4] = leaves[:, 0:1]
+    stats_ref[:, 4:5] = div[:, 0:1]
+    stats_ref[:, 5:6] = turn[:, 0:1]
+
+
 def _make_kernel(pot_grad_builder: Callable, n_data: int, *, max_exp: int,
                  divergence_threshold: float, internal_prng: bool = False):
-    """Build the whole-transition kernel body.
+    """Build the per-transition kernel body (one transition per call).
 
     ``pot_grad_builder(*data_vals)`` is called once inside the kernel with
     the loaded data arrays and must return ``pot_grad(q) -> (u, g)`` with
     ``u`` of shape (bc, 1) (or (bc,)) and ``g`` of shape (bc, dim) — any
     jnp code Pallas can lower (MXU dot_generals, jax.vjp, ...).
 
-    With ``internal_prng`` the kernel draws its own randomness (momentum
-    via Box-Muller, directions/uniforms from ``pltpu.prng_random_bits``)
-    from a per-transition seed — the externalized-randomness inputs (and
-    their XLA-side generation) drop out entirely.  Kept off for the
-    exact-oracle path.
+    With ``internal_prng`` the kernel draws its own randomness from a
+    per-transition seed; kept off for the exact-oracle path.
     """
 
     def _kernel(*args):
@@ -109,7 +390,6 @@ def _make_kernel(pot_grad_builder: Callable, n_data: int, *, max_exp: int,
             (eps_ref, seed_ref, q_ref, u0_ref, g_ref), refs = (
                 args[:5], args[5:]
             )
-            p_ref = dirs_ref = ubias_ref = uleaf_ref = None
         else:
             (eps_ref, q_ref, u0_ref, g_ref, p_ref, dirs_ref, ubias_ref,
              uleaf_ref), refs = args[:8], args[8:]
@@ -117,300 +397,212 @@ def _make_kernel(pot_grad_builder: Callable, n_data: int, *, max_exp: int,
         (im_ref, q_out, u_out, g_out, stats_out, ck_p, ck_s) = refs[n_data:]
         eps = eps_ref[0]
         im = im_ref[:]
-        dim = q_ref.shape[1]
-        bc = q_ref.shape[0]
-        ones_row = jnp.ones((1, dim), jnp.float32)
-
-        def rep(x):
-            # lane-replicate a (bc, 1) reduction output to (bc, D)
-            return x * ones_row
-
-        def blend(m, a, b):
-            return m * a + (1.0 - m) * b
-
-        def _column(vals, j):
-            cols = jax.lax.broadcasted_iota(
-                jnp.int32, (1, vals.shape[1]), 1
-            )
-            picked = jnp.sum(
-                jnp.where(cols == j, vals, 0.0), axis=1, keepdims=True
-            )
-            return rep(picked)
+        bc, dim = q_ref.shape
 
         raw_pot_grad = pot_grad_builder(*[r[:] for r in data_refs])
 
-        def pot_grad(q):
-            u, g = raw_pot_grad(q)
-            if u.ndim == 1:
-                u = u[:, None]
-            u = rep(u)
-            # finite clamps: masked blends compute 0 * x, NaN-poisoned by
-            # +-inf
-            u = jnp.clip(
-                jnp.where(jnp.isnan(u), -NEG_INF, u), NEG_INF, -NEG_INF
-            )
-            g = jnp.clip(jnp.where(jnp.isnan(g), 0.0, g), NEG_INF, -NEG_INF)
-            return u, g
-
-        def ke(p):
-            return rep(0.5 * jnp.sum(im * p * p, axis=-1, keepdims=True))
-
-        def leapfrog(q, p, g, d_eps):
-            p1 = p - 0.5 * d_eps * g
-            q1 = q + d_eps * (im * p1)
-            u1, g1 = pot_grad(q1)
-            p1 = p1 - 0.5 * d_eps * g1
-            return q1, p1, u1, g1
-
-        q0 = q_ref[:]
-        g0 = g_ref[:]
-        u0 = rep(u0_ref[:])
         if internal_prng:
-            # Per-block, per-transition stream: seed once, then draw the
-            # momentum (Box-Muller) and the direction/acceptance/leaf
-            # uniforms on-chip.
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919)
-            v1 = _uniform_from_bits(pltpu.prng_random_bits((bc, dim)))
-            v2 = _uniform_from_bits(pltpu.prng_random_bits((bc, dim)))
-            z = jnp.sqrt(-2.0 * jnp.log(v1)) * jnp.cos(2.0 * jnp.pi * v2)
-            p0 = jnp.sqrt(1.0 / im) * z
-            dirs_vals = jnp.where(
-                _uniform_from_bits(
-                    pltpu.prng_random_bits((bc, max_exp))
-                ) < 0.5,
-                -1.0,
-                1.0,
-            )
-            ubias_vals = _uniform_from_bits(
-                pltpu.prng_random_bits((bc, max_exp))
-            )
-            uleaf_vals = _uniform_from_bits(
-                pltpu.prng_random_bits((bc, 2**max_exp))
+            p0, dirs_vals, ubias_vals, uleaf_vals = _draw_randomness(
+                bc, dim, max_exp, im
             )
         else:
             p0 = p_ref[:]
             dirs_vals = dirs_ref[:]
             ubias_vals = ubias_ref[:]
             uleaf_vals = uleaf_ref[:]
-        e0 = u0 + ke(p0)
 
-        def turning(p_l, p_r, rho_sum):
-            rho = rho_sum - (p_r + p_l) * 0.5
-            t_l = rep(
-                jnp.sum(im * p_l * rho, axis=-1, keepdims=True)
-            ) <= 0
-            t_r = rep(
-                jnp.sum(im * p_r * rho, axis=-1, keepdims=True)
-            ) <= 0
-            return (t_l | t_r).astype(jnp.float32)
-
-        # derive carry inits from loaded data, not literals (see module
-        # docstring)
-        zero = q0 * 0.0
-        one_m = zero + 1.0
-        neg_inf_v = zero + NEG_INF
-
-        # carry: d, prop(q,U,g,energy,weight,slpa), L(q,p,U,g), R(q,p,U,g),
-        #        psum, active, div, turn, accept, leaves, doublings
-        init = (
-            jnp.asarray(0, jnp.int32),
-            (q0, u0, g0, e0, zero, neg_inf_v),
-            (q0, p0, u0, g0), (q0, p0, u0, g0),
-            p0, one_m, zero, zero, zero, zero, zero,
-        )
-
-        def outer_cond(c):
-            d = c[0]
-            active = c[5]
-            return (d < max_exp) & jnp.any(active > 0.5)
-
-        def outer_body(c):
-            (d, prop, left, right, psum, active, div, turn,
-             accept, leaves, doublings) = c
-            direction = _column(dirs_vals, d)  # (bc, D) +-1
-            go_right = (direction + 1.0) * 0.5
-            start = tuple(
-                blend(go_right, r, l) for l, r in zip(left, right)
-            )
-            nleaf = jnp.left_shift(jnp.asarray(1, jnp.int32), d)
-            base = nleaf - 1  # static u_leaf stream offset
-
-            # subtree carry: i, last(q,p,U,g),
-            #                sprop(q,U,g,energy,weight,slpa),
-            #                sub_psum, s_active, s_div, s_term, s_len
-            sq, sp_, su, sg = start
-            sub_init = (
-                jnp.asarray(0, jnp.int32),
-                (sq, sp_, su, sg),
-                (sq, su, sg, e0, zero, neg_inf_v),
-                psum * 0.0, active, zero, zero, zero,
-            )
-
-            def sub_cond(sc):
-                return (sc[0] < nleaf) & jnp.any(sc[4] > 0.5)
-
-            def sub_body(sc):
-                (i, last, sprop, s_psum, s_active, s_div, s_term,
-                 s_len) = sc
-                lq, lp, lu, lg = last
-                nq, np_, nu, ng = leapfrog(lq, lp, lg, direction * eps)
-                energy = jnp.clip(nu + ke(np_), NEG_INF, -NEG_INF)
-                delta = e0 - energy
-                delta = jnp.clip(
-                    jnp.where(jnp.isnan(delta), NEG_INF, delta),
-                    NEG_INF, -NEG_INF,
-                )
-                leaf_div = (
-                    jnp.abs(delta) > divergence_threshold
-                ).astype(jnp.float32)
-                leaf_w = delta
-                leaf_slpa = jnp.minimum(delta, 0.0)
-
-                # progressive-uniform merge (leaf 0 seeds the proposal)
-                u_rand = _column(uleaf_vals, base + i)
-                p_acc = jax.nn.sigmoid(leaf_w - sprop[4])
-                p_acc = jnp.where(jnp.isnan(p_acc), 0.0, p_acc)
-                take = jnp.where(
-                    i == 0, one_m, (u_rand < p_acc).astype(jnp.float32)
-                )
-                m_w = jnp.where(
-                    i == 0, leaf_w, jnp.logaddexp(sprop[4], leaf_w)
-                )
-                m_slpa = jnp.where(
-                    i == 0, leaf_slpa, jnp.logaddexp(sprop[5], leaf_slpa)
-                )
-                new_sprop = (
-                    blend(take, nq, sprop[0]),
-                    blend(take, nu, sprop[1]),
-                    blend(take, ng, sprop[2]),
-                    blend(take, energy, sprop[3]),
-                    m_w,
-                    m_slpa,
-                )
-
-                new_psum = s_psum + np_
-
-                idx_max = _popcount_scalar(i >> 1)
-                idx_min = idx_max - _trailing_ones_scalar(i) + 1
-
-                # Checkpoint write at even leaves: one dynamic (bc, 1, D)
-                # slot store.  Unmasked on purpose — inactive chains'
-                # rows are garbage-but-unread: their term/div flags are
-                # latched by the `pick(·, old)` blends below and the
-                # buffers hold no cross-subtree state (each subtree
-                # writes every slot it later reads).
-                @pl.when(jnp.equal(i % 2, 0))
-                def _():
-                    ck_p[:, pl.ds(idx_max, 1), :] = np_[:, None, :]
-                    ck_s[:, pl.ds(idx_max, 1), :] = new_psum[:, None, :]
-
-                # U-turn check at odd leaves: walk only the live slot
-                # range [idx_min, idx_max].  At even leaves hi == lo and
-                # the loop body never runs.
-                lo = idx_min
-                hi = jnp.where(jnp.equal(i % 2, 1), idx_max + 1, idx_min)
-
-                def check_body(j, t_acc):
-                    pj = ck_p[:, pl.ds(j, 1), :][:, 0, :]
-                    sj = ck_s[:, pl.ds(j, 1), :][:, 0, :]
-                    rho_sum = new_psum - sj + pj
-                    rho = rho_sum - (pj + np_) * 0.5
-                    t_l = rep(jnp.sum(
-                        im * pj * rho, axis=-1, keepdims=True
-                    )) <= 0
-                    t_r = rep(jnp.sum(
-                        im * np_ * rho, axis=-1, keepdims=True
-                    )) <= 0
-                    return jnp.maximum(
-                        t_acc, (t_l | t_r).astype(jnp.float32)
-                    )
-
-                term = jax.lax.fori_loop(lo, hi, check_body, zero)
-
-                keep = s_active
-                pick = lambda new, old: blend(keep, new, old)  # noqa: E731
-                out_last = tuple(
-                    pick(n, o) for n, o in zip((nq, np_, nu, ng), last)
-                )
-                out_sprop = tuple(
-                    pick(n, o) for n, o in zip(new_sprop, sprop)
-                )
-                out_psum = pick(new_psum, s_psum)
-                out_len = s_len + keep
-                out_div = pick(leaf_div, s_div)
-                out_term = pick(term, s_term)
-                stop = jnp.minimum(leaf_div + term, 1.0)
-                out_active = s_active * (1.0 - stop)
-                return (i + 1, out_last, out_sprop, out_psum, out_active,
-                        out_div, out_term, out_len)
-
-            (_, last, sprop, s_psum, _, s_div, s_term, s_len) = (
-                jax.lax.while_loop(sub_cond, sub_body, sub_init)
-            )
-
-            lq, lp, lu, lg = last
-            new_left = tuple(
-                blend(go_right, l, n)
-                for l, n in zip(left, (lq, lp, lu, lg))
-            )
-            new_right = tuple(
-                blend(go_right, n, r)
-                for n, r in zip((lq, lp, lu, lg), right)
-            )
-            new_psum = psum + s_psum
-            new_accept = jnp.exp(sprop[5]) / jnp.maximum(s_len, 1.0)
-
-            merged_slpa = jnp.logaddexp(sprop[5], prop[5])
-            clean = (1.0 - s_div) * (1.0 - s_term)
-            u_b = _column(ubias_vals, d)
-            p_acc = jnp.minimum(1.0, jnp.exp(sprop[4] - prop[4]))
-            take = clean * (u_b < p_acc).astype(jnp.float32)
-            m_w = blend(clean, jnp.logaddexp(prop[4], sprop[4]), prop[4])
-            new_prop = (
-                blend(take, sprop[0], prop[0]),
-                blend(take, sprop[1], prop[1]),
-                blend(take, sprop[2], prop[2]),
-                blend(take, sprop[3], prop[3]),
-                m_w,
-                merged_slpa,
-            )
-
-            turn_f = turning(new_left[1], new_right[1], new_psum)
-
-            keep = active
-            pick = lambda new, old: blend(keep, new, old)  # noqa: E731
-            stop_now = jnp.minimum(s_div + turn_f + s_term, 1.0)
-            out = (
-                d + 1,
-                tuple(pick(n, o) for n, o in zip(new_prop, prop)),
-                tuple(pick(n, o) for n, o in zip(new_left, left)),
-                tuple(pick(n, o) for n, o in zip(new_right, right)),
-                pick(new_psum, psum),
-                active * (1.0 - stop_now),
-                pick(s_div, div),
-                pick(turn_f, turn),
-                pick(new_accept, accept),
-                leaves + keep * s_len,
-                doublings + keep,
-            )
-            return out
-
-        (_, prop, _, _, _, _, div, turn, accept, leaves, doublings) = (
-            jax.lax.while_loop(outer_cond, outer_body, init)
+        prop, div, turn, accept, leaves, doublings = _transition_core(
+            q_ref[:], u0_ref[:], g_ref[:], p0,
+            dirs_vals, ubias_vals, uleaf_vals,
+            im, eps, raw_pot_grad, ck_p, ck_s,
+            max_exp=max_exp, divergence_threshold=divergence_threshold,
         )
 
         q_out[:] = prop[0]
         u_out[:] = prop[1][:, 0:1]
         g_out[:] = prop[2]
-        stats_out[:] = jnp.zeros(stats_out.shape, stats_out.dtype)
-        stats_out[:, 0:1] = prop[3][:, 0:1]  # energy of the proposal
-        stats_out[:, 1:2] = accept[:, 0:1]
-        stats_out[:, 2:3] = doublings[:, 0:1]
-        stats_out[:, 3:4] = leaves[:, 0:1]
-        stats_out[:, 4:5] = div[:, 0:1]
-        stats_out[:, 5:6] = turn[:, 0:1]
+        _write_stats(stats_out, prop, accept, doublings, leaves, div, turn)
 
     return _kernel
+
+
+def _make_sampling_kernel(pot_grad_builder: Callable, n_data: int, *,
+                          max_exp: int, divergence_threshold: float,
+                          num_draws: int, block_chains: int):
+    """Build the FULLY-FUSED sampling-loop kernel.
+
+    Grid is ``(num_blocks,)``; each grid step runs ALL ``num_draws``
+    transitions for its chain block in an internal ``fori_loop`` with the
+    chain state held in VMEM scratch, drawing randomness on-chip per draw
+    and streaming each draw's positions/stats straight to the HBM outputs
+    with explicit async DMA (the outputs use ``memory_space=ANY`` so the
+    kernel addresses the full arrays).  One kernel invocation runs the
+    whole sampling phase — zero XLA glue, zero kernel dispatches and zero
+    block-pipeline machinery between transitions.
+    """
+
+    def _kernel(eps_ref, seed_ref, q_ref, u0_ref, g_ref, *refs):
+        data_refs = refs[:n_data]
+        (im_ref, pos_hbm, stats_hbm, qf_out, uf_out, gf_out,
+         sq, su, sg, ck_p, ck_s, pos_stage, stats_stage, sems) = (
+            refs[n_data:]
+        )
+        b = pl.program_id(0)
+        eps = eps_ref[0]
+        im = im_ref[:]
+        bc, dim = sq.shape
+
+        sq[:] = q_ref[:]
+        su[:] = u0_ref[:]
+        sg[:] = g_ref[:]
+        # zero the lane padding once (the DMA ships full 128-lane rows)
+        pos_stage[:] = jnp.zeros(pos_stage.shape, pos_stage.dtype)
+        stats_stage[:] = jnp.zeros(stats_stage.shape, stats_stage.dtype)
+
+        raw_pot_grad = pot_grad_builder(*[r[:] for r in data_refs])
+
+        def one_draw(t, _):
+            # fresh per-(block, draw) stream — no reliance on hardware
+            # PRNG state surviving across iterations
+            pltpu.prng_seed(seed_ref[0] + b * 7919 + t * 104729)
+            p0, dirs_vals, ubias_vals, uleaf_vals = _draw_randomness(
+                bc, dim, max_exp, im
+            )
+            prop, div, turn, accept, leaves, doublings = _transition_core(
+                sq[:], su[:], sg[:], p0,
+                dirs_vals, ubias_vals, uleaf_vals,
+                im, eps, raw_pot_grad, ck_p, ck_s,
+                max_exp=max_exp,
+                divergence_threshold=divergence_threshold,
+            )
+            sq[:] = prop[0]
+            su[:] = prop[1][:, 0:1]
+            sg[:] = prop[2]
+
+            pos_stage[:, :, 0:dim] = prop[0][None]
+            stats_stage[:, :, 0:8] = jnp.concatenate(
+                [
+                    prop[3][:, 0:1], accept[:, 0:1], doublings[:, 0:1],
+                    leaves[:, 0:1], div[:, 0:1], turn[:, 0:1],
+                    prop[3][:, 0:1] * 0.0, prop[3][:, 0:1] * 0.0,
+                ],
+                axis=1,
+            )[None]
+            copy_pos = pltpu.make_async_copy(
+                pos_stage,
+                pos_hbm.at[b, pl.ds(t, 1)],
+                sems.at[0],
+            )
+            copy_stats = pltpu.make_async_copy(
+                stats_stage,
+                stats_hbm.at[b, pl.ds(t, 1)],
+                sems.at[1],
+            )
+            copy_pos.start()
+            copy_stats.start()
+            # synchronous for simplicity: ~100 KB per draw, microseconds
+            copy_pos.wait()
+            copy_stats.wait()
+            return _
+
+        jax.lax.fori_loop(0, num_draws, one_draw, jnp.asarray(0, jnp.int32))
+
+        qf_out[:] = sq[:]
+        uf_out[:] = su[:]
+        gf_out[:] = sg[:]
+
+    return _kernel
+
+
+def _fused_sampling_call(pot_grad_builder, data, q, potential, grad,
+                         inverse_mass, step_size, seed, num_draws, *,
+                         max_num_expansions: int,
+                         divergence_threshold: float, block_chains: int):
+    """Drive the fully-fused sampling-loop kernel (in-kernel PRNG only)."""
+    num_chains, dim = q.shape
+    K = max_num_expansions
+    assert max_num_expansions <= 14, "max_num_expansions > 14 unsupported"
+    block_chains = min(block_chains, num_chains)
+    assert num_chains % block_chains == 0
+    grid = (num_chains // block_chains,)
+
+    data = [_as_row(d) for d in data]
+    eps = jnp.asarray(step_size, jnp.float32).reshape(1)
+    im_row = inverse_mass.reshape(1, dim).astype(jnp.float32)
+
+    dpad = -(-dim // 128) * 128  # lane-pad the streamed positions
+    kernel = _make_sampling_kernel(
+        pot_grad_builder, len(data),
+        max_exp=max_num_expansions,
+        divergence_threshold=divergence_threshold,
+        num_draws=num_draws,
+        block_chains=block_chains,
+    )
+    row = lambda cols: pl.BlockSpec(  # noqa: E731
+        (block_chains, cols), lambda b: (b, 0), memory_space=pltpu.VMEM
+    )
+    fixed = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, (lambda b: (0,) * len(shape)), memory_space=pltpu.VMEM
+    )
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    pos, stats, qf, uf, gf = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            row(dim), row(1), row(dim),
+            *[fixed(*d.shape) for d in data],
+            fixed(1, dim),
+        ],
+        out_specs=[
+            hbm_spec, hbm_spec,
+            row(dim), row(1), row(dim),
+        ],
+        out_shape=[
+            # (blocks, draws, bc, ...) so each draw's DMA writes one full
+            # contiguous block; reassembled to (draws, chains, ...) below
+            jax.ShapeDtypeStruct(
+                (grid[0], num_draws, block_chains, dpad), jnp.float32
+            ),
+            jax.ShapeDtypeStruct(
+                (grid[0], num_draws, block_chains, 128), jnp.float32
+            ),
+            jax.ShapeDtypeStruct((num_chains, dim), jnp.float32),
+            jax.ShapeDtypeStruct((num_chains, 1), jnp.float32),
+            jax.ShapeDtypeStruct((num_chains, dim), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_chains, dim), jnp.float32),
+            pltpu.VMEM((block_chains, 1), jnp.float32),
+            pltpu.VMEM((block_chains, dim), jnp.float32),
+            pltpu.VMEM((block_chains, K, dim), jnp.float32),
+            pltpu.VMEM((block_chains, K, dim), jnp.float32),
+            pltpu.VMEM((1, block_chains, dpad), jnp.float32),
+            pltpu.VMEM((1, block_chains, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        eps,
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        q.astype(jnp.float32),
+        potential.reshape(num_chains, 1).astype(jnp.float32),
+        grad.astype(jnp.float32),
+        *data,
+        im_row,
+    )
+    # (blocks, draws, bc, ...) -> (draws, chains, ...); drop lane padding
+    pos = jnp.transpose(pos[..., 0:dim], (1, 0, 2, 3)).reshape(
+        num_draws, num_chains, dim
+    )
+    stats = jnp.transpose(stats[..., 0:8], (1, 0, 2, 3)).reshape(
+        num_draws, num_chains, 8
+    )
+    return pos, stats, qf, uf, gf
 
 
 def _as_row(a):
@@ -661,6 +853,7 @@ def sample_fused(
     block_chains: int = 128,
     collect_positions: bool = True,
     internal_prng: bool = False,
+    loop_in_kernel: bool = False,
 ):
     """Sampling loop over the GENERIC fused transition.
 
@@ -676,19 +869,43 @@ def sample_fused(
     mass_sqrt = jnp.sqrt(1.0 / inverse_mass)
     rows = [_as_row(d) for d in data]
 
+    def pot_grad_builder(*data_vals):
+        def pot_grad(q):
+            u, pullback = jax.vjp(lambda qq: potential_fn(qq, *data_vals), q)
+            (g,) = pullback(jnp.ones_like(u))
+            return u, g
+
+        return pot_grad
+
+    u0_flat, pull = jax.vjp(
+        lambda qq: potential_fn(qq, *rows),
+        initial_positions.astype(jnp.float32),
+    )
+    (g0,) = pull(jnp.ones_like(u0_flat))
+    u0 = u0_flat.reshape(num_chains, 1)
+
+    if loop_in_kernel:
+        seed = jax.random.randint(
+            rng_key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+        )
+        positions, stats, qf, _, _ = _fused_sampling_call(
+            pot_grad_builder, data,
+            initial_positions.astype(jnp.float32), u0, g0,
+            inverse_mass, step_size, seed, num_samples,
+            max_num_expansions=max_num_expansions,
+            divergence_threshold=divergence_threshold,
+            block_chains=block_chains,
+        )
+        if not collect_positions:
+            positions = None
+        return qf, positions, stats
+
     transition = make_fused_nuts_transition(
         potential_fn, data,
         max_num_expansions=max_num_expansions,
         divergence_threshold=divergence_threshold,
         block_chains=block_chains,
     )
-
-    u0, pull = jax.vjp(
-        lambda qq: potential_fn(qq, *rows),
-        initial_positions.astype(jnp.float32),
-    )
-    (g0,) = pull(jnp.ones_like(u0))
-    u0 = u0.reshape(num_chains, 1)
 
     if internal_prng:
 
@@ -752,6 +969,7 @@ def sample_fused_logistic(
     collect_positions: bool = True,
     matmul_dtype=jnp.bfloat16,
     internal_prng: bool = False,
+    loop_in_kernel: bool = False,
 ):
     """Sampling loop over the fused transition (logistic-regression family).
 
@@ -779,6 +997,24 @@ def sample_fused_logistic(
         return u, g
 
     u0, g0 = potential_and_grad(initial_positions)
+
+    if loop_in_kernel:
+        builder = _logistic_pot_grad_builder(prior_precision, matmul_dtype)
+        y_row = y.reshape(1, X.shape[0]).astype(jnp.float32)
+        seed = jax.random.randint(
+            rng_key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+        )
+        positions, stats, qf, _, _ = _fused_sampling_call(
+            builder, [X, X.T, y_row],
+            initial_positions.astype(jnp.float32), u0, g0,
+            inverse_mass, step_size, seed, num_samples,
+            max_num_expansions=max_num_expansions,
+            divergence_threshold=divergence_threshold,
+            block_chains=block_chains,
+        )
+        if not collect_positions:
+            positions = None
+        return qf, positions, stats
 
     if internal_prng:
 

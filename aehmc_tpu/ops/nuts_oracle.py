@@ -65,13 +65,38 @@ def nuts_transition_oracle(
     """
     X = np.asarray(X, np.float64)
     y = np.asarray(y, np.float64)
+    potential = lambda q: _logistic_potential(q, X, y, prior_precision)  # noqa: E731
+    grad = lambda q: _logistic_grad(q, X, y, prior_precision)  # noqa: E731
+    return nuts_transition_oracle_generic(
+        potential, grad, q0, p0, inverse_mass, step_size, directions,
+        u_bias, u_leaf, max_num_expansions, divergence_threshold,
+    )
+
+
+def nuts_transition_oracle_generic(
+    potential,
+    grad,
+    q0,
+    p0,
+    inverse_mass,
+    step_size,
+    directions,
+    u_bias,
+    u_leaf,
+    max_num_expansions,
+    divergence_threshold=1000.0,
+):
+    """One NUTS transition for an ARBITRARY potential, single chain.
+
+    ``potential(q) -> float`` and ``grad(q) -> ndarray`` take float64
+    positions.  The differential oracle for the generic fused megakernel
+    (:func:`aehmc_tpu.ops.nuts_fused.make_fused_nuts_transition`).
+    """
     q0 = np.asarray(q0, np.float64)
     p0 = np.asarray(p0, np.float64)
     im = np.asarray(inverse_mass, np.float64)
     eps = float(step_size)
 
-    potential = lambda q: _logistic_potential(q, X, y, prior_precision)  # noqa: E731
-    grad = lambda q: _logistic_grad(q, X, y, prior_precision)  # noqa: E731
     ke = lambda p: 0.5 * np.sum(im * p * p)  # noqa: E731
 
     def leapfrog(q, p, g, direction):
@@ -132,14 +157,17 @@ def nuts_transition_oracle(
                 sub_prop = leaf
             else:
                 u = float(u_leaf[2**d - 1 + i])
-                p_accept = 1.0 / (1.0 + np.exp(-(leaf["weight"] - sub_prop["weight"])))
-                if np.isnan(p_accept):
-                    p_accept = 0.0
+                # logit-space progressive-uniform compare, matching the
+                # fused kernel: u < sigmoid(x) <=> logit(u) < x; a NaN
+                # weight delta compares False = reject
+                with np.errstate(divide="ignore"):
+                    u_logit = np.log(u) - np.log1p(-u)
+                delta_w = leaf["weight"] - sub_prop["weight"]
                 merged = dict(
                     weight=np.logaddexp(sub_prop["weight"], leaf["weight"]),
                     slpa=np.logaddexp(sub_prop["slpa"], leaf["slpa"]),
                 )
-                picked = leaf if u < p_accept else sub_prop
+                picked = leaf if u_logit < delta_w else sub_prop
                 sub_prop = dict(
                     q=picked["q"], U=picked["U"], g=picked["g"],
                     energy=picked["energy"], **merged,

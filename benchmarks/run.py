@@ -469,7 +469,10 @@ def nuts_fused_10k():
     imm = jnp.full((dim,), 0.3386, jnp.float32)
 
     f = jax.jit(
-        lambda k: sample_fused_logistic(k, X, y, q0, num_draws, eps, imm)
+        lambda k: sample_fused_logistic(
+            k, X, y, q0, num_draws, eps, imm,
+            block_chains=256, internal_prng=True,
+        )
     )
     out = f(jax.random.PRNGKey(1))
     jax.block_until_ready(out[1])
@@ -488,6 +491,52 @@ def nuts_fused_10k():
     )
 
 
+def nuts_fused_generic_10k():
+    """GENERIC fused NUTS megakernel (in-kernel jax.vjp gradients) on the
+    config-5 posterior: the potential is a plain jnp callable, not a
+    handwritten kernel (ops/nuts_fused.make_fused_nuts_transition)."""
+    from aehmc_tpu.models import logistic_regression_data
+    from aehmc_tpu.ops.nuts_fused import sample_fused
+
+    dim, n_points, num_chains, num_draws = 100, 1000, 10_240, 100
+    X, y = logistic_regression_data(dim=dim, num_points=n_points)
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
+    )
+    eps = jnp.asarray(0.5148, jnp.float32)
+    imm = jnp.full((dim,), 0.3386, jnp.float32)
+
+    def potential(q, Xv, y_row):
+        logits = q @ Xv.T
+        sp = jnp.maximum(logits, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        return (
+            -jnp.sum(y_row * logits - sp, axis=-1)
+            + 0.5 * jnp.sum(q * q, axis=-1)
+        )
+
+    f = jax.jit(
+        lambda k: sample_fused(
+            k, potential, [X, y], q0, num_draws, eps, imm,
+            block_chains=256, internal_prng=True,
+        )
+    )
+    out = f(jax.random.PRNGKey(1))
+    jax.block_until_ready(out[1])
+    dt, out = _median_time(lambda r: f(jax.random.PRNGKey(2 + r)))
+    stats = np.asarray(out[2])
+    evals = int(stats[:, :, 3].sum())
+    log(
+        f"nuts_fused_generic: accept {stats[:, :, 1].mean():.3f}, "
+        f"div {int(stats[:, :, 4].sum())}"
+    )
+    _emit(
+        "nuts_fused_generic_10k_chains_100d",
+        evals / dt,
+        "grad_evals/s",
+        {"chains": num_chains, "runs": TIMED_RUNS, "stat": "median"},
+    )
+
+
 CONFIGS = {
     "readme_nuts": readme_nuts,
     "linreg_warmup": linreg_warmup,
@@ -497,6 +546,7 @@ CONFIGS = {
     "chees_10k": chees_10k,
     "meads_10k": meads_10k,
     "nuts_fused_10k": nuts_fused_10k,
+    "nuts_fused_generic_10k": nuts_fused_generic_10k,
 }
 
 
