@@ -452,6 +452,8 @@ def sample(
     integrate_fn: Callable = None,
     divergence_threshold: float = 1000.0,
     collect_positions: bool = True,
+    _keys: jax.Array = None,
+    _step_offset=0,
 ):
     """Sample with tuned parameters; trajectory length stays Halton-jittered.
 
@@ -486,8 +488,12 @@ def sample(
         )
         return new_states, (out, kept)
 
-    keys = jax.random.split(rng_key, num_samples)
-    steps = jnp.arange(num_samples, dtype=jnp.int32)
+    # _keys/_step_offset: segmented (checkpointed) drivers pass an explicit
+    # slice of the run's key stream plus the global draw offset (the Halton
+    # jitter is indexed by the absolute draw number), so segment boundaries
+    # don't perturb the draws.
+    keys = jax.random.split(rng_key, num_samples) if _keys is None else _keys
+    steps = _step_offset + jnp.arange(num_samples, dtype=jnp.int32)
     final_states, (positions, infos) = jax.lax.scan(
         one_step, states, (steps, keys)
     )

@@ -183,17 +183,8 @@ def sample_sharded(
     is not checkpointed — a run killed during warmup restarts it.
     ``_crash_after_segments`` is a test hook that aborts after N segments.
     """
-    if checkpoint_every:
-        if checkpoint_path is None:
-            raise ValueError(
-                "checkpoint_every requires checkpoint_path"
-            )
-        if algorithm in ("chees", "meads"):
-            raise NotImplementedError(
-                f"checkpointing is not yet wired for algorithm={algorithm!r}"
-                " (its adaptation state lives inside the sampling loop);"
-                " use nuts/hmc/mala/ghmc"
-            )
+    if checkpoint_every and checkpoint_path is None:
+        raise ValueError("checkpoint_every requires checkpoint_path")
     if algorithm == "meads":
         from aehmc_tpu import meads
 
@@ -204,27 +195,79 @@ def sample_sharded(
                 initial_positions, chain_sharding(mesh)
             )
 
-        def meads_program(key, positions):
-            final_states, positions_out, infos, hyper = meads.sample(
-                key,
-                logprob_fn,
-                positions,
-                num_samples,
-                num_warmup,
-                divergence_threshold=divergence_threshold,
-                collect_positions=collect_positions,
-            )
+        if not checkpoint_every:
+
+            def meads_program(key, positions):
+                final_states, positions_out, infos, hyper = meads.sample(
+                    key,
+                    logprob_fn,
+                    positions,
+                    num_samples,
+                    num_warmup,
+                    divergence_threshold=divergence_threshold,
+                    collect_positions=collect_positions,
+                )
+                return SampleResult(
+                    final_state=final_states,
+                    positions=positions_out,
+                    diagnostics=infos,
+                    step_size=jnp.mean(hyper.step_size),
+                    inverse_mass_matrix=jnp.mean(
+                        hyper.inverse_mass_matrix, axis=0
+                    ),
+                )
+
+            return jax.jit(meads_program)(rng_key, initial_positions)
+
+        # Checkpointed MEADS: adaptation is re-derived from the chain
+        # states by the kernel each step, so the segment carry is just
+        # the chain-state batch.
+        meads_kernel = meads.new_kernel(
+            logprob_fn, divergence_threshold=divergence_threshold
+        )
+
+        def meads_warmup_program(key, positions):
+            init_key, warm_key, sample_key = jax.random.split(key, 3)
+            states = meads.init_states(init_key, positions, logprob_fn)
+
+            def burn_step(states, k):
+                new_states, _, _ = meads_kernel(k, states)
+                return new_states, None
+
+            if num_warmup > 0:
+                states, _ = jax.lax.scan(
+                    burn_step, states,
+                    jax.random.split(warm_key, num_warmup),
+                )
+            return states, (), sample_key
+
+        def meads_segment(states, keys, seg_start, extras):
+            def draw_step(states, k):
+                new_states, infos, hyper = meads_kernel(k, states)
+                out = new_states.position if collect_positions else None
+                return new_states, (out, infos, hyper)
+
+            return jax.lax.scan(draw_step, states, keys)
+
+        def meads_build_result(states, extras, outs):
+            positions_out, infos, hypers = outs
+            last_hyper = jax.tree_util.tree_map(lambda a: a[-1], hypers)
             return SampleResult(
-                final_state=final_states,
-                positions=positions_out,
+                final_state=states,
+                positions=positions_out if collect_positions else None,
                 diagnostics=infos,
-                step_size=jnp.mean(hyper.step_size),
+                step_size=jnp.mean(jnp.asarray(last_hyper.step_size)),
                 inverse_mass_matrix=jnp.mean(
-                    hyper.inverse_mass_matrix, axis=0
+                    jnp.asarray(last_hyper.inverse_mass_matrix), axis=0
                 ),
             )
 
-        return jax.jit(meads_program)(rng_key, initial_positions)
+        return _checkpointed_run(
+            rng_key, initial_positions, meads_warmup_program,
+            meads_segment, meads_build_result, num_samples,
+            checkpoint_every, checkpoint_path, resume, collect_positions,
+            mesh, _crash_after_segments,
+        )
     if algorithm == "chees":
         from aehmc_tpu import chees
 
@@ -235,7 +278,23 @@ def sample_sharded(
                 initial_positions, chain_sharding(mesh)
             )
 
-        def chees_program(key, positions):
+        def _chees_diagnostics(chees_info):
+            accept = chees_info.acceptance_probability  # (draws, chains)
+            return Diagnostics(
+                acceptance_probability=accept,
+                # ChEES has no tree: doublings/turning are structurally zero,
+                # broadcast per-chain so every field is (draws, chains).
+                num_doublings=jnp.zeros(accept.shape, jnp.int32),
+                is_turning=jnp.zeros(accept.shape, bool),
+                is_diverging=chees_info.is_diverging,
+                energy=chees_info.energy,
+                num_integration_steps=jnp.broadcast_to(
+                    jnp.asarray(chees_info.num_integration_steps)[:, None],
+                    accept.shape,
+                ),
+            )
+
+        def chees_warmup_program(key, positions):
             states = jax.vmap(lambda q: hmc.new_state(q, logprob_fn))(
                 positions
             )
@@ -249,39 +308,61 @@ def sample_sharded(
                 divergence_threshold=divergence_threshold,
                 search_initial_step_size=search_initial_step_size,
             )
-            final_states, positions_out, chees_info = chees.sample(
-                sample_key,
-                logprob_fn,
-                result.states,
-                num_samples,
+            extras = (
                 result.step_size,
                 result.trajectory_length,
                 result.inverse_mass_matrix,
+            )
+            return result.states, extras, sample_key
+
+        def chees_segment(states, keys, seg_start, extras):
+            eps, h, imm = extras
+            final_states, positions_out, chees_info = chees.sample(
+                None,
+                logprob_fn,
+                states,
+                keys.shape[0],
+                eps,
+                h,
+                imm,
                 divergence_threshold=divergence_threshold,
                 collect_positions=collect_positions,
+                _keys=keys,
+                _step_offset=seg_start,
             )
-            accept = chees_info.acceptance_probability  # (draws, chains)
-            infos = Diagnostics(
-                acceptance_probability=accept,
-                # ChEES has no tree: doublings/turning are structurally zero,
-                # broadcast per-chain so every field is (draws, chains).
-                num_doublings=jnp.zeros(accept.shape, jnp.int32),
-                is_turning=jnp.zeros(accept.shape, bool),
-                is_diverging=chees_info.is_diverging,
-                energy=chees_info.energy,
-                num_integration_steps=jnp.broadcast_to(
-                    chees_info.num_integration_steps[:, None], accept.shape
-                ),
-            )
+            return final_states, (positions_out, chees_info)
+
+        def chees_build_result(states, extras, outs):
+            eps, h, imm = extras
+            positions_out, chees_info = outs
             return SampleResult(
-                final_state=final_states,
-                positions=positions_out,
-                diagnostics=infos,
-                step_size=result.step_size,
-                inverse_mass_matrix=result.inverse_mass_matrix,
+                final_state=states,
+                positions=positions_out if collect_positions else None,
+                diagnostics=_chees_diagnostics(chees_info),
+                step_size=eps,
+                inverse_mass_matrix=imm,
             )
 
-        return jax.jit(chees_program)(rng_key, initial_positions)
+        if not checkpoint_every:
+
+            def chees_program(key, positions):
+                states, extras, sample_key = chees_warmup_program(
+                    key, positions
+                )
+                keys = jax.random.split(sample_key, num_samples)
+                final_states, outs = chees_segment(
+                    states, keys, jnp.asarray(0, jnp.int32), extras
+                )
+                return chees_build_result(final_states, extras, outs)
+
+            return jax.jit(chees_program)(rng_key, initial_positions)
+
+        return _checkpointed_run(
+            rng_key, initial_positions, chees_warmup_program,
+            chees_segment, chees_build_result, num_samples,
+            checkpoint_every, checkpoint_path, resume, collect_positions,
+            mesh, _crash_after_segments,
+        )
 
     if algorithm == "mala" and is_mass_matrix_full:
         raise ValueError(
@@ -333,9 +414,11 @@ def sample_sharded(
                 imm = jnp.ones((dim,), dtype)
             else:
                 imm = jnp.ones((), dtype)
-        return states, eps, imm, sample_key
+        return states, (eps, imm), sample_key
 
-    def sample_segment(states, keys, eps, imm):
+    def sample_segment(states, keys, seg_start, extras):
+        eps, imm = extras
+
         def one_step(states, key):
             keys = jax.random.split(key, num_chains)
             new_states, infos = jax.vmap(
@@ -346,21 +429,26 @@ def sample_sharded(
 
         return jax.lax.scan(one_step, states, keys)
 
+    def build_result(states, extras, outs):
+        eps, imm = extras
+        positions_out, infos = outs
+        return SampleResult(
+            final_state=states,
+            positions=positions_out if collect_positions else None,
+            diagnostics=infos,
+            step_size=eps,
+            inverse_mass_matrix=imm,
+        )
+
     if not checkpoint_every:
 
         def program(key, positions):
-            states, eps, imm, sample_key = warmup_program(key, positions)
+            states, extras, sample_key = warmup_program(key, positions)
             keys = jax.random.split(sample_key, num_samples)
-            final_states, (positions_out, infos) = sample_segment(
-                states, keys, eps, imm
+            final_states, outs = sample_segment(
+                states, keys, jnp.asarray(0, jnp.int32), extras
             )
-            return SampleResult(
-                final_state=final_states,
-                positions=positions_out,
-                diagnostics=infos,
-                step_size=eps,
-                inverse_mass_matrix=imm,
-            )
+            return build_result(final_states, extras, outs)
 
         return jax.jit(program)(rng_key, initial_positions)
 
@@ -369,6 +457,7 @@ def sample_sharded(
         initial_positions,
         warmup_program,
         sample_segment,
+        build_result,
         num_samples,
         checkpoint_every,
         checkpoint_path,
@@ -384,6 +473,7 @@ def _checkpointed_run(
     initial_positions,
     warmup_program,
     sample_segment,
+    build_result,
     num_samples,
     checkpoint_every,
     checkpoint_path,
@@ -393,6 +483,11 @@ def _checkpointed_run(
     _crash_after_segments,
 ):
     """Segmented sampling loop with periodic snapshots (SURVEY.md §5).
+
+    ``warmup_program(key, positions) -> (carry, extras, sample_key)``;
+    ``sample_segment(carry, keys, seg_start, extras) -> (carry, outs)``
+    with ``outs`` any pytree of per-draw stacked arrays;
+    ``build_result(carry, extras, outs) -> SampleResult``.
 
     Sampling runs as ``ceil(num_samples / checkpoint_every)`` jitted scans.
     The per-draw keys for the WHOLE run are derived once from the
@@ -410,46 +505,41 @@ def _checkpointed_run(
     n_segments = -(-num_samples // checkpoint_every)
 
     done_segments = 0
-    pos_chunks, info_chunks = [], []
-    state = None
+    out_chunks = []
     if resume and os.path.exists(checkpoint_path):
         # Build a dtype-correct example pytree without running anything:
         # eval_shape gives the exact structure/dtypes of warmup + segments.
         wu_shapes = jax.eval_shape(
             warmup_program, rng_key, initial_positions
         )
-        states_ex, eps_ex, imm_ex, key_ex = jax.tree_util.tree_map(
+        carry_ex, extras_ex, key_ex = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), wu_shapes
         )
         first = min(checkpoint_every, num_samples)
         keys_ex = jax.random.split(jax.random.PRNGKey(0), first)
         seg_shapes = jax.eval_shape(
-            sample_segment, states_ex, keys_ex, eps_ex, imm_ex
+            sample_segment, carry_ex, keys_ex,
+            jnp.zeros((), jnp.int32), extras_ex,
         )
-        _, (pos_seg_ex, info_seg_ex) = jax.tree_util.tree_map(
+        _, outs_ex = jax.tree_util.tree_map(
             lambda s: jnp.zeros((0,) + s.shape[1:], s.dtype), seg_shapes
         )
         example = {
-            "states": states_ex,
-            "eps": eps_ex,
-            "imm": imm_ex,
+            "carry": carry_ex,
+            "extras": extras_ex,
             "sample_key": key_ex,
             "done_segments": jnp.zeros((), jnp.int32),
-            "infos": info_seg_ex,
+            "outs": outs_ex,
         }
-        if collect_positions:
-            example["positions"] = pos_seg_ex
         loaded = ckpt.restore(checkpoint_path, example)
-        states, eps, imm = loaded["states"], loaded["eps"], loaded["imm"]
+        carry, extras = loaded["carry"], loaded["extras"]
         sample_key = loaded["sample_key"]
         done_segments = int(loaded["done_segments"])
-        info_chunks = [loaded["infos"]]
-        if collect_positions:
-            pos_chunks = [loaded["positions"]]
+        out_chunks = [loaded["outs"]]
         if mesh is not None:
-            states = jax.device_put(states, chain_sharding(mesh))
+            carry = jax.device_put(carry, chain_sharding(mesh))
     else:
-        states, eps, imm, sample_key = jax.jit(warmup_program)(
+        carry, extras, sample_key = jax.jit(warmup_program)(
             rng_key, initial_positions
         )
 
@@ -465,22 +555,17 @@ def _checkpointed_run(
     for seg in range(done_segments, n_segments):
         lo = seg * checkpoint_every
         hi = min(lo + checkpoint_every, num_samples)
-        states, (pos_seg, info_seg) = segment_fn(
-            states, all_keys[lo:hi], eps, imm
+        carry, outs = segment_fn(
+            carry, all_keys[lo:hi], jnp.asarray(lo, jnp.int32), extras
         )
-        info_chunks.append(info_seg)
-        if collect_positions:
-            pos_chunks.append(pos_seg)
+        out_chunks.append(outs)
         payload = {
-            "states": states,
-            "eps": eps,
-            "imm": imm,
+            "carry": carry,
+            "extras": extras,
             "sample_key": sample_key,
             "done_segments": jnp.asarray(seg + 1, jnp.int32),
-            "infos": _stack(info_chunks),
+            "outs": _stack(out_chunks),
         }
-        if collect_positions:
-            payload["positions"] = _stack(pos_chunks)
         ckpt.save(checkpoint_path, payload)
         if (
             _crash_after_segments is not None
@@ -489,10 +574,4 @@ def _checkpointed_run(
         ):
             return None  # simulated kill (test hook)
 
-    return SampleResult(
-        final_state=states,
-        positions=_stack(pos_chunks) if collect_positions else None,
-        diagnostics=_stack(info_chunks),
-        step_size=eps,
-        inverse_mass_matrix=imm,
-    )
+    return build_result(carry, extras, _stack(out_chunks))

@@ -56,13 +56,16 @@ def bench_hmc_linear_regression(num_chains=1024, num_draws=100, L=1024):
     # compile + warm up
     out = jitted(jax.random.PRNGKey(0), positions)
     jax.block_until_ready(out)
-    # best-of-3: the TPU tunnel adds +-30% run-to-run noise (PERF.md)
-    elapsed = float("inf")
-    for rep in range(3):
+    # median-of-5: the TPU tunnel adds +-30% run-to-run noise (PERF.md);
+    # medians with recorded run counts per the round-2 protocol
+    times = []
+    for rep in range(5):
         t0 = time.perf_counter()
         out = jitted(jax.random.PRNGKey(2 + rep), positions)
         jax.block_until_ready(out)
-        elapsed = min(elapsed, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    elapsed = times[len(times) // 2]
 
     grad_evals = num_chains * num_draws * L
     evals_per_sec = grad_evals / elapsed
@@ -87,6 +90,8 @@ def main():
         "value": round(evals_per_sec, 1),
         "unit": "evals/s",
         "vs_baseline": round(evals_per_sec / BASELINE_GRAD_EVALS_PER_SEC, 2),
+        "runs": 5,
+        "stat": "median",
     }
     print(json.dumps(result), flush=True)
 

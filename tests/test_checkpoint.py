@@ -64,9 +64,16 @@ def test_resume_continues_bitwise(tmp_path):
     np.testing.assert_array_equal(full, resumed)
 
 
-def test_sample_sharded_checkpoint_resume(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("algorithm", ["nuts", "chees", "meads"])
+def test_sample_sharded_checkpoint_resume(tmp_path, algorithm):
     """Driver-integrated checkpointing: a run killed mid-sampling and
-    resumed reproduces the uninterrupted run bit-for-bit (same mesh)."""
+    resumed reproduces the uninterrupted run bit-for-bit (same mesh) —
+    for the generic kernels AND the batch samplers (ChEES's Halton jitter
+    is indexed by absolute draw number; MEADS re-derives its adaptation
+    from the chain states each step)."""
     from aehmc_tpu.parallel import sample_sharded
 
     logprob_fn = std_normal()
@@ -75,7 +82,7 @@ def test_sample_sharded_checkpoint_resume(tmp_path):
     common = dict(
         num_samples=30,
         num_warmup=40,
-        algorithm="nuts",
+        algorithm=algorithm,
         checkpoint_every=10,
     )
 
