@@ -8,7 +8,11 @@ convergence diagnostics — which XLA issues over ICI automatically when the
 reduced axis is sharded.
 """
 
-from aehmc_tpu.parallel.mesh import chain_sharding, make_mesh  # noqa: F401
+from aehmc_tpu.parallel.mesh import (  # noqa: F401
+    chain_sharding,
+    make_mesh,
+    make_multislice_mesh,
+)
 from aehmc_tpu.parallel.pooled import (  # noqa: F401
     pooled_warmup,
     sample_sharded,

@@ -131,6 +131,46 @@ def test_sharded_bitwise_matches_unsharded():
     np.testing.assert_allclose(pooled.var(axis=0), 1.0, atol=0.25)
 
 
+def test_multislice_mesh_bitwise_matches_flat():
+    """Multi-slice (DCN) scale-out: a 2-D (slice, chains) mesh shards the
+    chain batch over every chip, and — because pooled reductions use
+    fixed-tree pairwise order — produces bitwise-identical tuned
+    parameters and draws to the flat 1-D mesh of the same 8 devices."""
+    from aehmc_tpu.parallel import make_multislice_mesh
+
+    logprob_fn = std_normal()
+    initial_positions = jax.random.normal(
+        jax.random.PRNGKey(5), (64, 2), jnp.float64
+    )
+    kwargs = dict(num_samples=50, num_warmup=100)
+    res_multi = sample_sharded(
+        jax.random.PRNGKey(2), logprob_fn, initial_positions,
+        mesh=make_multislice_mesh(2), **kwargs,
+    )
+    res_flat = sample_sharded(
+        jax.random.PRNGKey(2), logprob_fn, initial_positions,
+        mesh=make_mesh(), **kwargs,
+    )
+    assert float(res_multi.step_size) == float(res_flat.step_size)
+    np.testing.assert_array_equal(
+        np.asarray(res_multi.inverse_mass_matrix),
+        np.asarray(res_flat.inverse_mass_matrix),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_multi.positions), np.asarray(res_flat.positions)
+    )
+
+
+def test_multislice_mesh_validation():
+    from aehmc_tpu.parallel import make_multislice_mesh
+
+    try:
+        make_multislice_mesh(3)  # 8 devices don't split into 3 slices
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_pooled_warmup_progress_stream(capfd):
     """progress_every streams lines from inside the jitted warmup scan."""
     logprob_fn = std_normal()
