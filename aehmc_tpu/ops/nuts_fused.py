@@ -45,6 +45,9 @@ with a scalar slot index — which Mosaic supports (only lane-dim dynamic
 indexing is not); this writes/reads one (bc, 1, D) slot instead of
 masked-blending the whole (bc, K, D) buffer every leaf, and the U-turn
 check walks only the live slot range in a ``fori_loop`` at odd leaves.
+The subtree loop processes leaves in PAIRS (even leaf writes, odd leaf
+checks — statically alternating; both leaves of a pair share one
+popcount slot index), so loop control runs once per two gradients.
 Mosaic has no uint32->f32 cast (bitcast to int32 and shift first), and
 block sizes past 256 chains need ``vmem_limit_bytes`` raised.
 """
@@ -191,9 +194,17 @@ def _transition_core(q0, u0_col, g0, p0, dirs_vals, ubias_vals, uleaf_vals,
         def sub_cond(sc):
             return (sc[0] < nleaf) & jnp.any(sc[4] > 0.5)
 
-        def sub_body(sc):
-            (i, last, sprop, s_psum, s_active, s_div, s_term, s_len) = sc
-            lq, lp, lu, lg = last
+        def _leaf_quantities(state, leaf_idx, sprop_w, sprop_slpa,
+                             is_first):
+            """Leapfrog one leaf and compute its merge quantities.
+
+            Progressive-uniform compares run in logit space
+            (u < sigmoid(x) <=> logit(u) < x — the logits of the whole
+            uniform stream are precomputed once per transition); NaN
+            weight deltas compare False = reject, matching the sigmoid
+            path's NaN->0.
+            """
+            lq, lp, lu, lg = state
             nq, np_, nu, ng = leapfrog(lq, lp, lg, direction * eps)
             energy = jnp.clip(nu + ke(np_), NEG_INF, -NEG_INF)
             delta = e0 - energy
@@ -204,88 +215,117 @@ def _transition_core(q0, u0_col, g0, p0, dirs_vals, ubias_vals, uleaf_vals,
             leaf_div = (
                 jnp.abs(delta) > divergence_threshold
             ).astype(jnp.float32)
-            leaf_w = delta
-            leaf_slpa = jnp.minimum(delta, 0.0)
-
-            # progressive-uniform merge (leaf 0 seeds the proposal).
-            # Compare in logit space: u < sigmoid(x) <=> logit(u) < x, so
-            # the per-leaf sigmoid disappears (the logits of the whole
-            # uniform stream are precomputed once per transition); NaN
-            # weight deltas compare False = reject, matching the sigmoid
-            # path's NaN->0.
-            u_logit = _column(uleaf_logit_vals, base + i)
-            take = jnp.where(
-                i == 0, one_m,
-                (u_logit < leaf_w - sprop[4]).astype(jnp.float32),
+            u_logit = _column(uleaf_logit_vals, base + leaf_idx)
+            cmp = (u_logit < delta - sprop_w).astype(jnp.float32)
+            take = jnp.where(is_first, one_m, cmp)
+            m_w = jnp.where(
+                is_first, delta, jnp.logaddexp(sprop_w, delta)
             )
-            m_w = jnp.where(i == 0, leaf_w, jnp.logaddexp(sprop[4], leaf_w))
             m_slpa = jnp.where(
-                i == 0, leaf_slpa, jnp.logaddexp(sprop[5], leaf_slpa)
+                is_first,
+                jnp.minimum(delta, 0.0),
+                jnp.logaddexp(sprop_slpa, jnp.minimum(delta, 0.0)),
             )
+            return (nq, np_, nu, ng), energy, leaf_div, take, m_w, m_slpa
 
-            new_psum = s_psum + np_
-
-            idx_max = _popcount_scalar(i >> 1)
-            idx_min = idx_max - _trailing_ones_scalar(i) + 1
-
-            # Checkpoint write at even leaves: one dynamic (bc, 1, D)
-            # slot store.  Unmasked on purpose — inactive chains' rows
-            # are garbage-but-unread: their term/div flags are latched by
-            # the `pick(·, old)` blends below and the buffers hold no
-            # cross-subtree state (each subtree writes every slot it
-            # later reads).
-            @pl.when(jnp.equal(i % 2, 0))
-            def _():
-                ck_p[:, pl.ds(idx_max, 1), :] = np_[:, None, :]
-                ck_s[:, pl.ds(idx_max, 1), :] = new_psum[:, None, :]
-
-            # U-turn check at odd leaves: walk only the live slot range
-            # [idx_min, idx_max].  At even leaves hi == lo and the loop
-            # body never runs.
-            lo = idx_min
-            hi = jnp.where(jnp.equal(i % 2, 1), idx_max + 1, idx_min)
-
-            def check_body(j, t_acc):
-                pj = ck_p[:, pl.ds(j, 1), :][:, 0, :]
-                sj = ck_s[:, pl.ds(j, 1), :][:, 0, :]
-                rho_sum = new_psum - sj + pj
-                rho = rho_sum - (pj + np_) * 0.5
-                t_l = rep(jnp.sum(
-                    im * pj * rho, axis=-1, keepdims=True
-                )) <= 0
-                t_r = rep(jnp.sum(
-                    im * np_ * rho, axis=-1, keepdims=True
-                )) <= 0
-                return jnp.maximum(t_acc, (t_l | t_r).astype(jnp.float32))
-
-            term = jax.lax.fori_loop(lo, hi, check_body, zero)
-
-            keep = s_active
-            pick = lambda new, old: blend(keep, new, old)  # noqa: E731
-            out_last = tuple(
-                pick(n, o) for n, o in zip((nq, np_, nu, ng), last)
-            )
-            # fused proposal select: blend(keep, blend(take, a, b), b)
-            # == blend(keep*take, a, b), halving the state blends
+        def _merge_leaf(sprop, leaf_state, energy, take, m_w, m_slpa,
+                        keep):
+            """Fold one leaf into the subtree proposal under ``keep``:
+            blend(keep, blend(take, a, b), b) == blend(keep*take, a, b)."""
+            nq, _, nu, ng = leaf_state
             take_eff = keep * take
-            out_sprop = (
+            return (
                 blend(take_eff, nq, sprop[0]),
                 blend(take_eff, nu, sprop[1]),
                 blend(take_eff, ng, sprop[2]),
                 blend(take_eff, energy, sprop[3]),
-                pick(m_w, sprop[4]),
-                pick(m_slpa, sprop[5]),
+                blend(keep, m_w, sprop[4]),
+                blend(keep, m_slpa, sprop[5]),
             )
-            # inactive chains carry s_div == s_term == 0 while stopped
-            # flags latch via keep, so madd replaces the full blends
-            out_psum = s_psum + keep * np_
-            out_len = s_len + keep
-            out_div = s_div + keep * leaf_div
-            out_term = s_term + keep * term
-            stop = jnp.minimum(leaf_div + term, 1.0)
-            out_active = s_active * (1.0 - stop)
-            return (i + 1, out_last, out_sprop, out_psum, out_active,
-                    out_div, out_term, out_len)
+
+        def sub_body(sc):
+            # Paired-leaf body: leaf A (even index i) writes its
+            # checkpoint slot, leaf B (i + 1, odd) runs the U-turn check
+            # — the write/check alternation is STATIC, and the loop
+            # control (any() reduce + scalar sync) runs once per pair.
+            # Since i is even, (i+1) >> 1 == i >> 1, so both leaves share
+            # one popcount slot index.  For the 1-leaf subtree (d = 0)
+            # leaf B is computed but fully masked out (valid_b = 0) —
+            # the same block-granular wasted-work rule that already
+            # applies to stopped chains.
+            (i, last, sprop, s_psum, s_active, s_div, s_term, s_len) = sc
+            m_idx = _popcount_scalar(i >> 1)
+
+            # ---- leaf A: even index, checkpoint write, no check
+            a_state, energy_a, div_a, take_a, m_w_a, m_slpa_a = (
+                _leaf_quantities(last, i, sprop[4], sprop[5], i == 0)
+            )
+            ap = a_state[1]
+            psum_a_raw = s_psum + ap
+            # Unmasked store on purpose — inactive chains' rows are
+            # garbage-but-unread: their term/div flags are latched by the
+            # masked folds below and the buffers hold no cross-subtree
+            # state (each subtree writes every slot it later reads).
+            ck_p[:, pl.ds(m_idx, 1), :] = ap[:, None, :]
+            ck_s[:, pl.ds(m_idx, 1), :] = psum_a_raw[:, None, :]
+
+            keep_a = s_active
+            sprop1 = _merge_leaf(
+                sprop, a_state, energy_a, take_a, m_w_a, m_slpa_a, keep_a
+            )
+            last1 = tuple(
+                blend(keep_a, n, o) for n, o in zip(a_state, last)
+            )
+            psum1 = s_psum + keep_a * ap
+            len1 = s_len + keep_a
+            div1 = s_div + keep_a * div_a
+            active1 = s_active * (1.0 - div_a)
+
+            # ---- leaf B: odd index, U-turn check, no write
+            valid_b = i + 1 < nleaf  # scalar; False only for d = 0
+            b_state, energy_b, div_b, take_b, m_w_b, m_slpa_b = (
+                _leaf_quantities(
+                    a_state, i + 1, sprop1[4], sprop1[5], False
+                )
+            )
+            bp = b_state[1]
+            psum_b_raw = psum_a_raw + bp
+
+            lo = m_idx - _trailing_ones_scalar(i + 1) + 1
+            hi = jnp.where(valid_b, m_idx + 1, lo)
+
+            def check_body(j, t_acc):
+                pj = ck_p[:, pl.ds(j, 1), :][:, 0, :]
+                sj = ck_s[:, pl.ds(j, 1), :][:, 0, :]
+                rho_sum = psum_b_raw - sj + pj
+                rho = rho_sum - (pj + bp) * 0.5
+                t_l = rep(jnp.sum(
+                    im * pj * rho, axis=-1, keepdims=True
+                )) <= 0
+                t_r = rep(jnp.sum(
+                    im * bp * rho, axis=-1, keepdims=True
+                )) <= 0
+                return jnp.maximum(t_acc, (t_l | t_r).astype(jnp.float32))
+
+            term_b = jax.lax.fori_loop(lo, hi, check_body, zero)
+
+            vb = jnp.where(valid_b, 1.0, 0.0)
+            keep_b = active1 * vb
+            sprop2 = _merge_leaf(
+                sprop1, b_state, energy_b, take_b, m_w_b, m_slpa_b, keep_b
+            )
+            last2 = tuple(
+                blend(keep_b, n, o) for n, o in zip(b_state, last1)
+            )
+            psum2 = psum1 + keep_b * bp
+            len2 = len1 + keep_b
+            div2 = div1 + keep_b * div_b
+            term2 = s_term + keep_b * term_b
+            stop_b = jnp.minimum(div_b + term_b, 1.0)
+            active2 = active1 * (1.0 - vb * stop_b)
+
+            return (i + 2, last2, sprop2, psum2, active2, div2, term2,
+                    len2)
 
         (_, last, sprop, s_psum, _, s_div, s_term, s_len) = (
             jax.lax.while_loop(sub_cond, sub_body, sub_init)
