@@ -170,3 +170,93 @@ def mcse(samples: jax.Array) -> Tuple[jax.Array, jax.Array]:
     pooled = samples.reshape((-1,) + samples.shape[2:])
     sd = jnp.std(pooled, axis=0, ddof=1)
     return sd / jnp.sqrt(ess), ess
+
+
+def summary(samples: jax.Array) -> dict:
+    """Per-dimension posterior summary (the arviz ``az.summary`` columns).
+
+    ``samples``: (chains, draws) or (chains, draws, dim).  Returns a dict
+    of per-dimension arrays: ``mean, sd, median, q05, q95, ess_bulk,
+    ess_tail, r_hat, mcse_mean``.  Pure JAX — jits, runs on device, and
+    reduces across a sharded chain axis with XLA collectives.
+    """
+    samples = _validate(samples)
+    pooled = samples.reshape((-1,) + samples.shape[2:])
+    mcse_mean, _ = mcse(samples)
+    return {
+        "mean": jnp.mean(pooled, axis=0),
+        "sd": jnp.std(pooled, axis=0, ddof=1),
+        "median": jnp.quantile(pooled, 0.5, axis=0),
+        "q05": jnp.quantile(pooled, 0.05, axis=0),
+        "q95": jnp.quantile(pooled, 0.95, axis=0),
+        "ess_bulk": effective_sample_size(samples),
+        "ess_tail": tail_effective_sample_size(samples),
+        "r_hat": potential_scale_reduction(samples, rank_normalized=True),
+        "mcse_mean": mcse_mean,
+    }
+
+
+def to_inference_data_dict(
+    positions,
+    diagnostics=None,
+    *,
+    draw_axis: int = 0,
+    param_names=None,
+) -> dict:
+    """Convert a sampling result to the ``arviz.from_dict`` layout.
+
+    The reference's users consume draws through arviz (ref
+    tests/test_hmc.py:158-161); this bridges without depending on it::
+
+        import arviz as az
+        idata = az.from_dict(**to_inference_data_dict(res.positions,
+                                                      res.diagnostics))
+
+    ``positions``: draws with a draw axis and optionally a chain axis —
+    (draws, dim), (draws, chains, dim) [the ``sample_sharded`` layout,
+    ``draw_axis=0``] or (chains, draws, dim) [the ``sample_chains``
+    layout, pass ``draw_axis=1``].  Returns ``{"posterior": ...,
+    "sample_stats": ...}`` with arrays in arviz's (chain, draw, ...)
+    convention.  ``diagnostics`` may be the :class:`Diagnostics` pytree
+    stacked over the same axes.
+    """
+    import numpy as np
+
+    pos = np.asarray(positions)
+    if pos.ndim == 2:  # (draws, dim): single chain
+        pos = pos[:, None, :]
+        draw_axis = 0
+    if draw_axis == 0:
+        pos = np.moveaxis(pos, 0, 1)  # -> (chains, draws, dim)
+    dim = pos.shape[2]
+    if param_names is None:
+        param_names = (
+            ["theta"] if dim == 1 else [f"theta_{i}" for i in range(dim)]
+        )
+    if len(param_names) == 1 and dim == 1:
+        posterior = {param_names[0]: pos[:, :, 0]}
+    else:
+        posterior = {
+            name: pos[:, :, i] for i, name in enumerate(param_names)
+        }
+
+    out = {"posterior": posterior}
+    if diagnostics is not None:
+        def _chain_draw(x):
+            x = np.asarray(x)
+            if x.ndim == 1:  # (draws,): single chain or shared per draw
+                x = x[:, None]
+            if draw_axis == 0:
+                x = np.moveaxis(x, 0, 1)
+            return x
+
+        out["sample_stats"] = {
+            "acceptance_rate": _chain_draw(
+                diagnostics.acceptance_probability
+            ),
+            "diverging": _chain_draw(diagnostics.is_diverging),
+            "energy": _chain_draw(diagnostics.energy),
+            "tree_depth": _chain_draw(diagnostics.num_doublings),
+            "n_steps": _chain_draw(diagnostics.num_integration_steps),
+        }
+    return out

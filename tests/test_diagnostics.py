@@ -137,3 +137,49 @@ def test_diagnostics_jit_compatible():
     r = jax.jit(potential_scale_reduction)(samples)
     e = jax.jit(effective_sample_size)(samples)
     assert np.isfinite(float(r)) and np.isfinite(float(e))
+
+
+def test_summary_columns():
+    """summary() reports calibrated columns on known Gaussian chains."""
+    from aehmc_tpu.diagnostics import summary
+
+    rng = np.random.default_rng(0)
+    samples = jnp.asarray(rng.normal(1.0, 2.0, size=(4, 2000, 3)))
+    s = jax.jit(summary)(samples)
+    np.testing.assert_allclose(np.asarray(s["mean"]), 1.0, atol=0.15)
+    np.testing.assert_allclose(np.asarray(s["sd"]), 2.0, atol=0.15)
+    np.testing.assert_allclose(np.asarray(s["median"]), 1.0, atol=0.2)
+    np.testing.assert_allclose(
+        np.asarray(s["q05"]), 1.0 - 2.0 * 1.645, atol=0.3
+    )
+    np.testing.assert_allclose(np.asarray(s["r_hat"]), 1.0, atol=0.01)
+    assert np.all(np.asarray(s["ess_bulk"]) > 4000)  # iid draws
+    assert np.all(np.asarray(s["ess_tail"]) > 2000)
+    assert s["mean"].shape == (3,)
+
+
+def test_to_inference_data_dict_layouts():
+    """The arviz bridge handles both driver layouts and carries stats."""
+    from aehmc_tpu.diagnostics import to_inference_data_dict
+    from aehmc_tpu.models import std_normal
+    from aehmc_tpu.parallel import sample_sharded
+
+    res = sample_sharded(
+        jax.random.PRNGKey(0), std_normal(), jnp.zeros((8, 2)),
+        num_samples=20, num_warmup=30,
+    )
+    d = to_inference_data_dict(res.positions, res.diagnostics)
+    assert d["posterior"]["theta_0"].shape == (8, 20)  # (chain, draw)
+    assert d["sample_stats"]["diverging"].shape == (8, 20)
+    assert d["sample_stats"]["tree_depth"].dtype.kind in "iu"
+
+    # (chains, draws, dim) layout (sample_chains): draw_axis=1
+    pos = np.moveaxis(np.asarray(res.positions), 0, 1)
+    d2 = to_inference_data_dict(pos, None, draw_axis=1)
+    np.testing.assert_array_equal(
+        d2["posterior"]["theta_1"], d["posterior"]["theta_1"]
+    )
+
+    # single chain (draws, dim)
+    d3 = to_inference_data_dict(np.asarray(res.positions)[:, 0, :])
+    assert d3["posterior"]["theta_0"].shape == (1, 20)
