@@ -183,14 +183,20 @@ def summary(samples: jax.Array) -> dict:
     samples = _validate(samples)
     pooled = samples.reshape((-1,) + samples.shape[2:])
     mcse_mean, _ = mcse(samples)
+    # Antithetic chains (NUTS/ChEES) can push raw Geyer estimates past the
+    # draw count; summary reports the defensible min(ess, N) (the raw
+    # estimators stay uncapped for callers who want them).
+    n_total = samples.shape[0] * samples.shape[1]
     return {
         "mean": jnp.mean(pooled, axis=0),
         "sd": jnp.std(pooled, axis=0, ddof=1),
         "median": jnp.quantile(pooled, 0.5, axis=0),
         "q05": jnp.quantile(pooled, 0.05, axis=0),
         "q95": jnp.quantile(pooled, 0.95, axis=0),
-        "ess_bulk": effective_sample_size(samples),
-        "ess_tail": tail_effective_sample_size(samples),
+        "ess_bulk": jnp.minimum(effective_sample_size(samples), n_total),
+        "ess_tail": jnp.minimum(
+            tail_effective_sample_size(samples), n_total
+        ),
         "r_hat": potential_scale_reduction(samples, rank_normalized=True),
         "mcse_mean": mcse_mean,
     }
