@@ -1,0 +1,592 @@
+"""Fused whole-transition NUTS megakernel, CHAINS-IN-LANES layout — the
+small-dimension companion to :mod:`aehmc_tpu.ops.nuts_fused`.
+
+The standard megakernel carries every chain-state array as
+(block_chains, dim) with dim across the 128 TPU lanes; posteriors with
+dim << 128 (Neal's funnel, 8-schools, most hierarchical models — exactly
+the deep-tree posteriors NUTS exists for) waste most of every VPU op in
+lane padding.  Here the layout is TRANSPOSED: arrays are (dim, block)
+with the CHAIN axis across lanes and dim across sublanes, so
+
+- per-chain scalars (energies, weights, masks, counters) are single
+  (1, block) lane rows — one vreg instead of a lane-replicated matrix;
+- the per-leaf/per-doubling random-stream reads become dynamic *sublane*
+  row reads (``ref[pl.ds(j, 1), :]``) instead of masked lane reductions;
+- dim-axis reductions (kinetic energy, U-turn dots) reduce over
+  sublanes, the cheap direction;
+- masks broadcast (1, block) -> (dim, block) over sublanes, the
+  supported broadcast direction (lane-broadcasting a (n, 1) column is
+  the thing Mosaic can't relayout).
+
+The potential is supplied TRANSPOSED: ``potential_fn_t(q_t, *data) ->
+(1, block)`` or ``(block,)`` with ``q_t`` of shape (dim, block), traced
+into the kernel and differentiated in-kernel with ``jax.vjp``.  Public
+wrappers accept the standard (chains, dim) layout and transpose at the
+XLA boundary (cheap for small dim).
+
+Randomness is externalized by default (exact parity against
+:func:`aehmc_tpu.ops.nuts_oracle.nuts_transition_oracle_generic`, tested
+in interpret mode); ``internal_prng``/``seed`` draws on-chip like the
+standard kernel.  The subtree loop uses the same paired-leaf structure
+(even leaf writes its checkpoint slot, odd leaf walks the live slot
+range).
+"""
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_IMPORTED = True
+except Exception:  # pragma: no cover
+    _PALLAS_IMPORTED = False
+
+from aehmc_tpu.ops.nuts_fused import (
+    NEG_INF,
+    _popcount_scalar,
+    _trailing_ones_scalar,
+    _uniform_from_bits,
+)
+
+
+def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
+                       uleaf_ref, im_col, eps, raw_pot_grad_t, ck_p, ck_s,
+                       *, max_exp: int, divergence_threshold: float):
+    """One NUTS transition, transposed layout.
+
+    Chain-state arrays are (dim, block); per-chain scalars (1, block);
+    ``dirs_ref``/``ubias_ref``/``uleaf_ref`` are (K-or-L, block) VMEM
+    REFS (inputs, or PRNG-filled scratch) read row-wise with dynamic
+    sublane slices — Mosaic lowers ``ref[pl.ds(j, 1), :]`` but not
+    ``dynamic_slice`` on loaded values; ``im_col`` is (dim, block)
+    (pre-broadcast); checkpoint scratch (K, dim, block).  Returns
+    ``(prop, div, turn, accept, leaves, doublings)`` with
+    ``prop = (q, U(1,B), g, energy(1,B), weight(1,B), slpa(1,B))``.
+    """
+    blk = q0.shape[1]
+
+    def blend(m, a, b):
+        # m: (1, blk) sublane-broadcasts over (dim, blk)
+        return m * a + (1.0 - m) * b
+
+    def row(ref, j):
+        return ref[pl.ds(j, 1), :]
+
+    def pot_grad(q):
+        u, g = raw_pot_grad_t(q)
+        if u.ndim == 1:
+            u = u[None, :]
+        u = jnp.clip(jnp.where(jnp.isnan(u), -NEG_INF, u), NEG_INF, -NEG_INF)
+        g = jnp.clip(jnp.where(jnp.isnan(g), 0.0, g), NEG_INF, -NEG_INF)
+        return u, g
+
+    def ke(p):
+        return 0.5 * jnp.sum(im_col * p * p, axis=0, keepdims=True)
+
+    def leapfrog(q, p, g, d_eps):
+        p1 = p - 0.5 * d_eps * g
+        q1 = q + d_eps * (im_col * p1)
+        u1, g1 = pot_grad(q1)
+        p1 = p1 - 0.5 * d_eps * g1
+        return q1, p1, u1, g1
+
+    u0 = u0_row
+    e0 = u0 + ke(p0)
+
+    def turning(p_l, p_r, rho_sum):
+        rho = rho_sum - (p_r + p_l) * 0.5
+        t_l = jnp.sum(im_col * p_l * rho, axis=0, keepdims=True) <= 0
+        t_r = jnp.sum(im_col * p_r * rho, axis=0, keepdims=True) <= 0
+        return (t_l | t_r).astype(jnp.float32)
+
+    # carry inits derived from loaded data (replicated-layout rule)
+    zero_s = u0 * 0.0            # (1, blk)
+    one_s = zero_s + 1.0
+    neg_inf_s = zero_s + NEG_INF
+
+    init = (
+        jnp.asarray(0, jnp.int32),
+        (q0, u0, g0, e0, zero_s, neg_inf_s),
+        (q0, p0, u0, g0), (q0, p0, u0, g0),
+        p0, one_s, zero_s, zero_s, zero_s, zero_s, zero_s,
+    )
+
+    def outer_cond(c):
+        return (c[0] < max_exp) & jnp.any(c[5] > 0.5)
+
+    def outer_body(c):
+        (d, prop, left, right, psum, active, div, turn,
+         accept, leaves, doublings) = c
+        direction = row(dirs_ref, d)  # (1, blk) +-1
+        go_right = (direction + 1.0) * 0.5
+        start = tuple(blend(go_right, r, l) for l, r in zip(left, right))
+        nleaf = jnp.left_shift(jnp.asarray(1, jnp.int32), d)
+        base = nleaf - 1
+
+        sq, sp_, su, sg = start
+        sub_init = (
+            jnp.asarray(0, jnp.int32),
+            (sq, sp_, su, sg),
+            (sq, su, sg, e0, zero_s, neg_inf_s),
+            psum * 0.0, active, zero_s, zero_s, zero_s,
+        )
+
+        def sub_cond(sc):
+            return (sc[0] < nleaf) & jnp.any(sc[4] > 0.5)
+
+        def _leaf_quantities(state, leaf_idx, sprop_w, sprop_slpa,
+                             is_first):
+            lq, lp, lu, lg = state
+            nq, np_, nu, ng = leapfrog(lq, lp, lg, direction * eps)
+            energy = jnp.clip(nu + ke(np_), NEG_INF, -NEG_INF)
+            delta = e0 - energy
+            delta = jnp.clip(
+                jnp.where(jnp.isnan(delta), NEG_INF, delta),
+                NEG_INF, -NEG_INF,
+            )
+            leaf_div = (
+                jnp.abs(delta) > divergence_threshold
+            ).astype(jnp.float32)
+            u_row = row(uleaf_ref, base + leaf_idx)
+            # per-leaf logit on one (1, blk) row — in this layout the
+            # whole-stream precompute buys nothing (1 vreg either way)
+            u_logit = jnp.log(u_row) - jnp.log1p(-u_row)
+            cmp = (u_logit < delta - sprop_w).astype(jnp.float32)
+            take = jnp.where(is_first, one_s, cmp)
+            m_w = jnp.where(
+                is_first, delta, jnp.logaddexp(sprop_w, delta)
+            )
+            m_slpa = jnp.where(
+                is_first,
+                jnp.minimum(delta, 0.0),
+                jnp.logaddexp(sprop_slpa, jnp.minimum(delta, 0.0)),
+            )
+            return (nq, np_, nu, ng), energy, leaf_div, take, m_w, m_slpa
+
+        def _merge_leaf(sprop, leaf_state, energy, take, m_w, m_slpa,
+                        keep):
+            nq, _, nu, ng = leaf_state
+            take_eff = keep * take
+            return (
+                blend(take_eff, nq, sprop[0]),
+                blend(take_eff, nu, sprop[1]),
+                blend(take_eff, ng, sprop[2]),
+                blend(take_eff, energy, sprop[3]),
+                blend(keep, m_w, sprop[4]),
+                blend(keep, m_slpa, sprop[5]),
+            )
+
+        def sub_body(sc):
+            # paired-leaf body (see ops/nuts_fused.py): even leaf writes
+            # its checkpoint slot, odd leaf checks; both share one
+            # popcount slot index
+            (i, last, sprop, s_psum, s_active, s_div, s_term, s_len) = sc
+            m_idx = _popcount_scalar(i >> 1)
+
+            a_state, energy_a, div_a, take_a, m_w_a, m_slpa_a = (
+                _leaf_quantities(last, i, sprop[4], sprop[5], i == 0)
+            )
+            ap = a_state[1]
+            psum_a_raw = s_psum + ap
+            ck_p[pl.ds(m_idx, 1), :, :] = ap[None]
+            ck_s[pl.ds(m_idx, 1), :, :] = psum_a_raw[None]
+
+            keep_a = s_active
+            sprop1 = _merge_leaf(
+                sprop, a_state, energy_a, take_a, m_w_a, m_slpa_a, keep_a
+            )
+            last1 = tuple(
+                blend(keep_a, n, o) for n, o in zip(a_state, last)
+            )
+            psum1 = s_psum + keep_a * ap
+            len1 = s_len + keep_a
+            div1 = s_div + keep_a * div_a
+            active1 = s_active * (1.0 - div_a)
+
+            valid_b = i + 1 < nleaf
+            b_state, energy_b, div_b, take_b, m_w_b, m_slpa_b = (
+                _leaf_quantities(
+                    a_state, i + 1, sprop1[4], sprop1[5], False
+                )
+            )
+            bp = b_state[1]
+            psum_b_raw = psum_a_raw + bp
+
+            lo = m_idx - _trailing_ones_scalar(i + 1) + 1
+            hi = jnp.where(valid_b, m_idx + 1, lo)
+
+            def check_body(j, t_acc):
+                pj = ck_p[pl.ds(j, 1), :, :][0]
+                sj = ck_s[pl.ds(j, 1), :, :][0]
+                rho_sum = psum_b_raw - sj + pj
+                rho = rho_sum - (pj + bp) * 0.5
+                t_l = jnp.sum(
+                    im_col * pj * rho, axis=0, keepdims=True
+                ) <= 0
+                t_r = jnp.sum(
+                    im_col * bp * rho, axis=0, keepdims=True
+                ) <= 0
+                return jnp.maximum(t_acc, (t_l | t_r).astype(jnp.float32))
+
+            term_b = jax.lax.fori_loop(lo, hi, check_body, zero_s)
+
+            vb = jnp.where(valid_b, 1.0, 0.0)
+            keep_b = active1 * vb
+            sprop2 = _merge_leaf(
+                sprop1, b_state, energy_b, take_b, m_w_b, m_slpa_b, keep_b
+            )
+            last2 = tuple(
+                blend(keep_b, n, o) for n, o in zip(b_state, last1)
+            )
+            psum2 = psum1 + keep_b * bp
+            len2 = len1 + keep_b
+            div2 = div1 + keep_b * div_b
+            term2 = s_term + keep_b * term_b
+            stop_b = jnp.minimum(div_b + term_b, 1.0)
+            active2 = active1 * (1.0 - vb * stop_b)
+
+            return (i + 2, last2, sprop2, psum2, active2, div2, term2,
+                    len2)
+
+        (_, last, sprop, s_psum, _, s_div, s_term, s_len) = (
+            jax.lax.while_loop(sub_cond, sub_body, sub_init)
+        )
+
+        lq, lp, lu, lg = last
+        new_left = tuple(
+            blend(go_right, l, n) for l, n in zip(left, (lq, lp, lu, lg))
+        )
+        new_right = tuple(
+            blend(go_right, n, r) for n, r in zip((lq, lp, lu, lg), right)
+        )
+        new_psum = psum + s_psum
+        new_accept = jnp.exp(sprop[5]) / jnp.maximum(s_len, 1.0)
+
+        merged_slpa = jnp.logaddexp(sprop[5], prop[5])
+        clean = (1.0 - s_div) * (1.0 - s_term)
+        u_b = row(ubias_ref, d)
+        p_acc = jnp.minimum(1.0, jnp.exp(sprop[4] - prop[4]))
+        take = clean * (u_b < p_acc).astype(jnp.float32)
+        m_w = blend(clean, jnp.logaddexp(prop[4], sprop[4]), prop[4])
+        new_prop = (
+            blend(take, sprop[0], prop[0]),
+            blend(take, sprop[1], prop[1]),
+            blend(take, sprop[2], prop[2]),
+            blend(take, sprop[3], prop[3]),
+            m_w,
+            merged_slpa,
+        )
+
+        turn_f = turning(new_left[1], new_right[1], new_psum)
+
+        keep = active
+        pick = lambda new, old: blend(keep, new, old)  # noqa: E731
+        stop_now = jnp.minimum(s_div + turn_f + s_term, 1.0)
+        return (
+            d + 1,
+            tuple(pick(n, o) for n, o in zip(new_prop, prop)),
+            tuple(pick(n, o) for n, o in zip(new_left, left)),
+            tuple(pick(n, o) for n, o in zip(new_right, right)),
+            pick(new_psum, psum),
+            active * (1.0 - stop_now),
+            pick(s_div, div),
+            pick(turn_f, turn),
+            pick(new_accept, accept),
+            leaves + keep * s_len,
+            doublings + keep,
+        )
+
+    (_, prop, _, _, _, _, div, turn, accept, leaves, doublings) = (
+        jax.lax.while_loop(outer_cond, outer_body, init)
+    )
+    return prop, div, turn, accept, leaves, doublings
+
+
+def _make_kernel_t(pot_grad_builder_t: Callable, n_data: int, *,
+                   max_exp: int, divergence_threshold: float,
+                   internal_prng: bool):
+    def _kernel(*args):
+        if internal_prng:
+            (eps_ref, seed_ref, q_ref, u0_ref, g_ref), refs = (
+                args[:5], args[5:]
+            )
+        else:
+            (eps_ref, q_ref, u0_ref, g_ref, p_ref, dirs_ref, ubias_ref,
+             uleaf_ref), refs = args[:8], args[8:]
+        data_refs = refs[:n_data]
+        if internal_prng:
+            # streams are generated on-chip into scratch refs (the core
+            # row-reads them with dynamic sublane slices)
+            (im_ref, q_out, u_out, g_out, stats_out, ck_p, ck_s,
+             dirs_ref, ubias_ref, uleaf_ref) = refs[n_data:]
+        else:
+            (im_ref, q_out, u_out, g_out, stats_out, ck_p, ck_s) = (
+                refs[n_data:]
+            )
+        eps = eps_ref[0]
+        dim, blk = q_ref.shape
+        im_col = im_ref[:] * jnp.ones((1, blk), jnp.float32)  # (dim, blk)
+
+        raw_pot_grad_t = pot_grad_builder_t(*[r[:] for r in data_refs])
+
+        if internal_prng:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919)
+            v1 = _uniform_from_bits(pltpu.prng_random_bits((dim, blk)))
+            v2 = _uniform_from_bits(pltpu.prng_random_bits((dim, blk)))
+            z = jnp.sqrt(-2.0 * jnp.log(v1)) * jnp.cos(2.0 * jnp.pi * v2)
+            p0 = jnp.sqrt(1.0 / im_col) * z
+            dirs_ref[:] = jnp.where(
+                _uniform_from_bits(
+                    pltpu.prng_random_bits((max_exp, blk))
+                ) < 0.5,
+                -1.0,
+                1.0,
+            )
+            ubias_ref[:] = _uniform_from_bits(
+                pltpu.prng_random_bits((max_exp, blk))
+            )
+            uleaf_ref[:] = _uniform_from_bits(
+                pltpu.prng_random_bits((2**max_exp, blk))
+            )
+        else:
+            p0 = p_ref[:]
+
+        prop, div, turn, accept, leaves, doublings = _transition_core_t(
+            q_ref[:], u0_ref[:], g_ref[:], p0,
+            dirs_ref, ubias_ref, uleaf_ref,
+            im_col, eps, raw_pot_grad_t, ck_p, ck_s,
+            max_exp=max_exp, divergence_threshold=divergence_threshold,
+        )
+
+        q_out[:] = prop[0]
+        u_out[:] = prop[1]
+        g_out[:] = prop[2]
+        stats_out[:] = jnp.concatenate(
+            [prop[3], accept, doublings, leaves, div, turn,
+             prop[3] * 0.0, prop[3] * 0.0],
+            axis=0,
+        )
+
+    return _kernel
+
+
+def make_fused_nuts_transition_small(
+    potential_fn_t: Callable,
+    data: Sequence[jax.Array] = (),
+    *,
+    max_num_expansions: int = 10,
+    divergence_threshold: float = 1000.0,
+    block_chains: int = 1024,
+    interpret: bool = False,
+) -> Callable:
+    """GENERIC transposed-layout fused NUTS transition for small dims.
+
+    ``potential_fn_t(q_t, *data) -> (block,)`` with ``q_t`` of shape
+    (dim, block) — note the TRANSPOSED argument.  The public transition
+    still takes/returns the standard (chains, dim) layout (transposed at
+    the XLA boundary).  ``block_chains`` should be a multiple of 128
+    (the chain axis rides the lanes).
+
+    Returns ``transition(q, potential, grad, momentum, directions,
+    u_bias, u_leaf, inverse_mass, step_size, seed=None)`` exactly like
+    :func:`aehmc_tpu.ops.nuts_fused.make_fused_nuts_transition`.
+    """
+
+    def pot_grad_builder_t(*data_vals):
+        def pot_grad_t(q_t):
+            u, pullback = jax.vjp(
+                lambda qq: potential_fn_t(qq, *data_vals), q_t
+            )
+            (g,) = pullback(jnp.ones_like(u))
+            return u, g
+
+        return pot_grad_t
+
+    def transition(q, potential, grad, momentum, directions, u_bias,
+                   u_leaf, inverse_mass, step_size, seed=None):
+        num_chains, dim = q.shape
+        K = max_num_expansions
+        lmax = 2**max_num_expansions
+        assert max_num_expansions <= 14
+        internal_prng = seed is not None
+        blk = min(block_chains, num_chains)
+        assert num_chains % blk == 0
+        grid = (num_chains // blk,)
+
+        data_rows = [jnp.asarray(d, jnp.float32) for d in data]
+        data_rows = [
+            d.reshape(1, -1) if d.ndim < 2 else d for d in data_rows
+        ]
+        eps = jnp.asarray(step_size, jnp.float32).reshape(1)
+        im_col = inverse_mass.reshape(dim, 1).astype(jnp.float32)
+
+        kernel = _make_kernel_t(
+            pot_grad_builder_t, len(data_rows),
+            max_exp=max_num_expansions,
+            divergence_threshold=divergence_threshold,
+            internal_prng=internal_prng,
+        )
+        colblk = lambda rows: pl.BlockSpec(  # noqa: E731
+            (rows, blk), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        fixed = lambda *shape: pl.BlockSpec(  # noqa: E731
+            shape, (lambda i: (0,) * len(shape)), memory_space=pltpu.VMEM
+        )
+        state_specs = [colblk(dim), colblk(1), colblk(dim)]
+        state_args = [
+            q.T.astype(jnp.float32),
+            potential.reshape(1, num_chains).astype(jnp.float32),
+            grad.T.astype(jnp.float32),
+        ]
+        if internal_prng:
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                *state_specs,
+            ]
+            in_args = [
+                eps, jnp.asarray(seed, jnp.int32).reshape(1), *state_args,
+            ]
+        else:
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                *state_specs,
+                colblk(dim), colblk(K), colblk(K), colblk(lmax),
+            ]
+            in_args = [
+                eps, *state_args,
+                momentum.T.astype(jnp.float32),
+                directions.T.astype(jnp.float32),
+                u_bias.T.astype(jnp.float32),
+                u_leaf.T.astype(jnp.float32),
+            ]
+        qt, ut, gt, stats_t = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                *in_specs,
+                *[fixed(*d.shape) for d in data_rows],
+                fixed(dim, 1),
+            ],
+            out_specs=[colblk(dim), colblk(1), colblk(dim), colblk(8)],
+            out_shape=[
+                jax.ShapeDtypeStruct((dim, num_chains), jnp.float32),
+                jax.ShapeDtypeStruct((1, num_chains), jnp.float32),
+                jax.ShapeDtypeStruct((dim, num_chains), jnp.float32),
+                jax.ShapeDtypeStruct((8, num_chains), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((K, dim, blk), jnp.float32),
+                pltpu.VMEM((K, dim, blk), jnp.float32),
+            ] + (
+                [
+                    pltpu.VMEM((K, blk), jnp.float32),
+                    pltpu.VMEM((K, blk), jnp.float32),
+                    pltpu.VMEM((lmax, blk), jnp.float32),
+                ]
+                if internal_prng
+                else []
+            ),
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*in_args, *data_rows, im_col)
+        # back to the standard layout; stats columns as in nuts_fused
+        return qt.T, ut.reshape(num_chains, 1), gt.T, stats_t.T
+
+    return transition
+
+
+def sample_fused_small(
+    rng_key: jax.Array,
+    potential_fn_t: Callable,
+    data: Sequence[jax.Array],
+    initial_positions: jax.Array,
+    num_samples: int,
+    step_size: jax.Array,
+    inverse_mass: jax.Array,
+    max_num_expansions: int = 10,
+    divergence_threshold: float = 1000.0,
+    block_chains: int = 1024,
+    collect_positions: bool = True,
+    internal_prng: bool = True,
+):
+    """Sampling loop over the transposed small-dim transition.
+
+    ``potential_fn_t`` takes the TRANSPOSED (dim, block) position batch
+    (see :func:`make_fused_nuts_transition_small`).  Defaults to
+    in-kernel PRNG; one ``lax.scan`` over draws.  Returns
+    ``(final_positions, positions, stats_history)`` with the same stats
+    columns as :func:`aehmc_tpu.ops.nuts_fused.sample_fused`.
+    """
+    num_chains, dim = initial_positions.shape
+    lmax = 2**max_num_expansions
+    mass_sqrt = jnp.sqrt(1.0 / inverse_mass)
+
+    transition = make_fused_nuts_transition_small(
+        potential_fn_t, data,
+        max_num_expansions=max_num_expansions,
+        divergence_threshold=divergence_threshold,
+        block_chains=block_chains,
+    )
+
+    rows = [jnp.asarray(d, jnp.float32) for d in data]
+    rows = [d.reshape(1, -1) if d.ndim < 2 else d for d in rows]
+    u0, pull = jax.vjp(
+        lambda qq: potential_fn_t(qq, *rows),
+        initial_positions.T.astype(jnp.float32),
+    )
+    (g0_t,) = pull(jnp.ones_like(u0))
+    u0 = u0.reshape(num_chains, 1)
+    g0 = g0_t.T
+
+    if internal_prng:
+
+        def one_seeded(carry, seed):
+            q, u, g = carry
+            qn, un, gn, stats = transition(
+                q, u, g, None, None, None, None, inverse_mass, step_size,
+                seed=seed,
+            )
+            out = qn if collect_positions else None
+            return (qn, un, gn), (out, stats)
+
+        seeds = jax.random.randint(
+            rng_key, (num_samples,), 0, jnp.iinfo(jnp.int32).max,
+            dtype=jnp.int32,
+        )
+        (qf, _, _), (positions, stats) = jax.lax.scan(
+            one_seeded, (initial_positions.astype(jnp.float32), u0, g0),
+            seeds,
+        )
+        return qf, positions, stats
+
+    def one(carry, k):
+        q, u, g = carry
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        p = mass_sqrt * jax.random.normal(
+            k1, (num_chains, dim), jnp.float32
+        )
+        dirs = jnp.where(
+            jax.random.uniform(k2, (num_chains, max_num_expansions)) < 0.5,
+            -1.0,
+            1.0,
+        )
+        ub = jax.random.uniform(k3, (num_chains, max_num_expansions))
+        ul = jax.random.uniform(k4, (num_chains, lmax))
+        qn, un, gn, stats = transition(
+            q, u, g, p, dirs, ub, ul, inverse_mass, step_size
+        )
+        out = qn if collect_positions else None
+        return (qn, un, gn), (out, stats)
+
+    keys = jax.random.split(rng_key, num_samples)
+    (qf, _, _), (positions, stats) = jax.lax.scan(
+        one, (initial_positions.astype(jnp.float32), u0, g0), keys
+    )
+    return qf, positions, stats

@@ -537,6 +537,57 @@ def nuts_fused_generic_10k():
     )
 
 
+def funnel_fused():
+    """Neal's funnel through the chains-in-lanes megakernel
+    (ops/nuts_fused_small): the small-dim twin of the fused NUTS kernel —
+    chains ride the 128 TPU lanes, so dim=10 wastes nothing.  Same
+    posterior/eps as the `funnel` config (XLA path) for direct
+    comparison, at both the XLA config's 512 chains and a fleet 2048."""
+    from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
+
+    dim = 10
+
+    def potential_t(q_t, _dummy):
+        v = q_t[0:1, :]
+        x = q_t[1:, :]
+        lp_v = -0.5 * (v / 3.0) ** 2
+        sig2 = jnp.exp(v)
+        lp_x = (
+            jnp.sum(-0.5 * x * x / sig2, axis=0, keepdims=True)
+            - (dim - 1) * 0.5 * v
+        )
+        return (-(lp_v + lp_x))[0]
+
+    eps = jnp.asarray(0.2, jnp.float32)
+    imm = jnp.ones(dim, jnp.float32)
+    dummy = jnp.zeros((1, 1), jnp.float32)
+    for num_chains, blk in ((512, 512), (2048, 1024)):
+        q0 = 0.1 * jax.random.normal(
+            jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
+        )
+        f = jax.jit(
+            lambda k, q0=q0, blk=blk: sample_fused_small(
+                k, potential_t, [dummy], q0, 200, eps, imm,
+                max_num_expansions=10, block_chains=blk,
+            )
+        )
+        out = f(jax.random.PRNGKey(1))
+        jax.block_until_ready(out[1])
+        dt, out = _median_time(lambda r: f(jax.random.PRNGKey(2 + r)))
+        stats = np.asarray(out[2])
+        evals = int(stats[:, :, 3].sum())
+        log(
+            f"funnel_fused {num_chains} chains: accept "
+            f"{stats[:, :, 1].mean():.3f}, div {int(stats[:, :, 4].sum())}"
+        )
+        _emit(
+            f"funnel_fused_smallk_{num_chains}",
+            evals / dt,
+            "grad_evals/s",
+            {"chains": num_chains, "runs": TIMED_RUNS, "stat": "median"},
+        )
+
+
 CONFIGS = {
     "readme_nuts": readme_nuts,
     "linreg_warmup": linreg_warmup,
@@ -547,6 +598,7 @@ CONFIGS = {
     "meads_10k": meads_10k,
     "nuts_fused_10k": nuts_fused_10k,
     "nuts_fused_generic_10k": nuts_fused_generic_10k,
+    "funnel_fused": funnel_fused,
 }
 
 

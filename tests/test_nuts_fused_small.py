@@ -1,0 +1,117 @@
+"""Differential tests for the chains-in-lanes (small-dim) fused NUTS
+megakernel (:mod:`aehmc_tpu.ops.nuts_fused_small`): exact parity against
+the generic NumPy oracle on a diagonal Gaussian (AD gradient ==
+analytic), and cross-check against the standard-layout kernel on the
+same inputs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aehmc_tpu.ops.nuts_fused import make_fused_nuts_transition
+from aehmc_tpu.ops.nuts_fused_small import make_fused_nuts_transition_small
+from aehmc_tpu.ops.nuts_oracle import nuts_transition_oracle_generic
+
+
+def _case(seed, eps, max_exp, chains=8, dim=6, scale=1.0):
+    rng = np.random.default_rng(seed)
+    var = rng.uniform(0.5, 2.0, size=dim).astype(np.float32)
+    im = np.ones(dim, np.float32)
+    q = rng.normal(size=(chains, dim)).astype(np.float32) * scale
+    p = rng.normal(size=(chains, dim)).astype(np.float32)
+    dirs = np.where(
+        rng.uniform(size=(chains, max_exp)) < 0.5, -1.0, 1.0
+    ).astype(np.float32)
+    ub = rng.uniform(size=(chains, max_exp)).astype(np.float32)
+    ul = rng.uniform(size=(chains, 2**max_exp)).astype(np.float32)
+    return var, im, q, p, dirs, ub, ul
+
+
+@pytest.mark.parametrize(
+    "eps, max_exp",
+    [(0.3, 4), (0.9, 4), (0.05, 5), (25.0, 4)],
+)
+def test_small_kernel_matches_oracle_gaussian(eps, max_exp):
+    for seed in (0, 1):
+        var, im, q, p, dirs, ub, ul = _case(seed, eps, max_exp)
+        chains = q.shape[0]
+
+        def potential_t(q_t, var_col):
+            # q_t: (dim, block); var_col: (dim, 1) row-lifted data
+            return 0.5 * jnp.sum(q_t * q_t / var_col, axis=0)
+
+        transition = make_fused_nuts_transition_small(
+            potential_t, [jnp.asarray(var).reshape(-1, 1)],
+            max_num_expansions=max_exp, block_chains=chains,
+            interpret=True,
+        )
+        U = 0.5 * np.sum(q.astype(np.float64) ** 2 / var, axis=-1)
+        G = (q.astype(np.float64) / var).astype(np.float32)
+        qo, uo, go, stats = transition(
+            jnp.asarray(q), jnp.asarray(U.astype(np.float32)),
+            jnp.asarray(G), jnp.asarray(p), jnp.asarray(dirs),
+            jnp.asarray(ub), jnp.asarray(ul), jnp.asarray(im),
+            jnp.asarray(eps, jnp.float32),
+        )
+        qo, stats = np.asarray(qo), np.asarray(stats)
+
+        def pot_np(qq):
+            return 0.5 * np.sum(qq * qq / var)
+
+        def grad_np(qq):
+            return qq / var
+
+        for i in range(chains):
+            ref = nuts_transition_oracle_generic(
+                pot_np, grad_np, q[i], p[i], im, eps, dirs[i], ub[i],
+                ul[i], max_exp,
+            )
+            assert np.max(np.abs(qo[i] - ref["position"])) < 1e-3, (
+                eps, seed, i,
+            )
+            assert int(stats[i, 2]) == ref["num_doublings"], (eps, seed, i)
+            assert int(stats[i, 3]) == ref["num_integration_steps"]
+            assert int(stats[i, 4]) == int(ref["is_diverging"])
+            assert int(stats[i, 5]) == int(ref["is_turning"])
+
+
+def test_small_kernel_matches_standard_layout():
+    """Both kernel layouts consume the same randomness and must take
+    identical decisions on an exact-AD potential."""
+    eps, max_exp = 0.4, 4
+    var, im, q, p, dirs, ub, ul = _case(3, eps, max_exp)
+    chains, dim = q.shape
+    U = (0.5 * np.sum(q.astype(np.float64) ** 2 / var, axis=-1)).astype(
+        np.float32
+    )
+    G = (q.astype(np.float64) / var).astype(np.float32)
+
+    def potential(qq, var_row):
+        return 0.5 * jnp.sum(qq * qq / var_row, axis=-1)
+
+    def potential_t(q_t, var_col):
+        return 0.5 * jnp.sum(q_t * q_t / var_col, axis=0)
+
+    std = make_fused_nuts_transition(
+        potential, [jnp.asarray(var)],
+        max_num_expansions=max_exp, block_chains=chains, interpret=True,
+    )
+    small = make_fused_nuts_transition_small(
+        potential_t, [jnp.asarray(var).reshape(-1, 1)],
+        max_num_expansions=max_exp, block_chains=chains, interpret=True,
+    )
+    args = (
+        jnp.asarray(q), jnp.asarray(U), jnp.asarray(G), jnp.asarray(p),
+        jnp.asarray(dirs), jnp.asarray(ub), jnp.asarray(ul),
+        jnp.asarray(im), jnp.asarray(eps, jnp.float32),
+    )
+    q_a, _, _, s_a = std(*args)
+    q_b, _, _, s_b = small(*args)
+    np.testing.assert_array_equal(
+        np.asarray(s_a)[:, 2:6], np.asarray(s_b)[:, 2:6]
+    )
+    np.testing.assert_allclose(
+        np.asarray(q_a), np.asarray(q_b), rtol=2e-5, atol=2e-5
+    )
