@@ -24,6 +24,10 @@ from aehmc_tpu.ops.nuts_fused import (  # noqa: F401
     sample_fused,
     sample_fused_logistic,
 )
+from aehmc_tpu.ops.fused_driver import (  # noqa: F401
+    sample_fused_adaptive,
+    warmup_fused,
+)
 from aehmc_tpu.ops.nuts_fused_small import (  # noqa: F401
     make_fused_nuts_transition_small,
     sample_fused_small,
