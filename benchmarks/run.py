@@ -588,6 +588,58 @@ def funnel_fused():
         )
 
 
+def nuts_fused_adaptive_10k():
+    """One-call megakernel driver on the config-5 posterior: Stan window
+    adaptation AND sampling both run through the fused kernel
+    (ops/fused_driver.sample_fused_adaptive) — no pre-tuned eps/imm."""
+    from aehmc_tpu.models import logistic_regression_data
+    from aehmc_tpu.ops.fused_driver import sample_fused_adaptive
+
+    dim, n_points, num_chains = 100, 1000, 10_240
+    num_warmup, num_draws = 150, 200
+    X, y = logistic_regression_data(dim=dim, num_points=n_points)
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
+    )
+
+    def potential(q, Xv, y_row):
+        logits = q @ Xv.T
+        sp = jnp.maximum(logits, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        return (
+            -jnp.sum(y_row * logits - sp, axis=-1)
+            + 0.5 * jnp.sum(q * q, axis=-1)
+        )
+
+    f = jax.jit(
+        lambda k: sample_fused_adaptive(
+            k, potential, [X, y], q0, num_draws, num_warmup,
+            max_num_expansions=6, block_chains=256,
+        )
+    )
+    out = f(jax.random.PRNGKey(1))
+    jax.block_until_ready(out[1])
+    dt, out = _median_time(lambda r: f(jax.random.PRNGKey(2 + r)))
+    _, pos, stats, eps, imm = out
+    stats = np.asarray(stats)
+    evals = int(stats[:, :, 3].sum())
+    log(
+        f"fused adaptive: eps {float(eps):.4f}, accept "
+        f"{stats[:, :, 1].mean():.3f}, div {int(stats[:, :, 4].sum())}"
+    )
+    _emit(
+        "nuts_fused_adaptive_10k",
+        evals / dt,
+        "grad_evals/s",
+        {
+            "chains": num_chains,
+            "note": "warmup(150)+sampling(200) both in-kernel; evals "
+                    "counted over sampling only, time over the whole run",
+            "runs": TIMED_RUNS,
+            "stat": "median",
+        },
+    )
+
+
 CONFIGS = {
     "readme_nuts": readme_nuts,
     "linreg_warmup": linreg_warmup,
@@ -599,6 +651,7 @@ CONFIGS = {
     "nuts_fused_10k": nuts_fused_10k,
     "nuts_fused_generic_10k": nuts_fused_generic_10k,
     "funnel_fused": funnel_fused,
+    "nuts_fused_adaptive_10k": nuts_fused_adaptive_10k,
 }
 
 
