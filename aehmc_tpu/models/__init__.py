@@ -14,7 +14,9 @@ from aehmc_tpu.models.gaussian import (  # noqa: F401
 )
 from aehmc_tpu.models.hierarchical import (  # noqa: F401
     eight_schools,
+    eight_schools_t,
     neals_funnel,
+    neals_funnel_t,
 )
 from aehmc_tpu.models.regression import (  # noqa: F401
     linear_regression,

@@ -56,4 +56,60 @@ def eight_schools(non_centered: bool = True) -> Tuple[Callable, jnp.ndarray]:
     return logprob_fn, example_position
 
 
-__all__ = ["neals_funnel", "eight_schools"]
+def neals_funnel_t(dim: int = 10) -> Tuple[Callable, jnp.ndarray]:
+    """Neal's funnel as a TRANSPOSED batched potential for the
+    chains-in-lanes megakernel (:mod:`aehmc_tpu.ops.nuts_fused_small`):
+    ``potential_t(q_t)`` takes (dim, block) and returns (block,).
+
+    Returns ``(potential_t, example_position)`` (example in the standard
+    per-chain layout).
+    """
+
+    def potential_t(q_t):
+        v = q_t[0:1, :]
+        x = q_t[1:, :]
+        neg_lp_v = 0.5 * (v / 3.0) ** 2
+        neg_lp_x = (
+            jnp.sum(0.5 * x * x / jnp.exp(v), axis=0, keepdims=True)
+            + (dim - 1) * 0.5 * v
+        )
+        return (neg_lp_v + neg_lp_x)[0]
+
+    return potential_t, jnp.zeros(dim)
+
+
+def eight_schools_t() -> Tuple[Callable, tuple, jnp.ndarray]:
+    """Non-centered eight schools as a TRANSPOSED batched potential for
+    the chains-in-lanes megakernel; position rows are
+    ``[mu, log_tau, theta_raw_1..8]`` (dim = 10).
+
+    Returns ``(potential_t, data, example_position)`` — the school
+    observations/scales are DATA arguments (Pallas kernels cannot
+    capture array constants; they must enter as VMEM inputs):
+    ``potential_t(q_t, y_col, sig2_col)``.
+    """
+    y = jnp.asarray([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
+    sigma = jnp.asarray([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
+    data = (y[:, None], (sigma**2)[:, None])
+
+    def potential_t(q_t, y_col, sig2_col):
+        mu = q_t[0:1, :]
+        log_tau = q_t[1:2, :]
+        theta_raw = q_t[2:, :]
+        tau = jnp.exp(log_tau)
+        neg_lp = 0.5 * (mu / 5.0) ** 2
+        neg_lp = neg_lp + 0.5 * (log_tau / 5.0) ** 2 - log_tau
+        neg_lp = neg_lp + jnp.sum(
+            0.5 * theta_raw * theta_raw, axis=0, keepdims=True
+        )
+        theta = mu + tau * theta_raw
+        neg_lp = neg_lp + jnp.sum(
+            0.5 * (y_col - theta) ** 2 / sig2_col, axis=0, keepdims=True
+        )
+        return neg_lp[0]
+
+    return potential_t, data, jnp.zeros(10)
+
+
+__all__ = ["neals_funnel", "eight_schools", "neals_funnel_t",
+           "eight_schools_t"]
