@@ -54,7 +54,7 @@ from aehmc_tpu.ops.nuts_fused import (
 
 
 def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
-                       uleaf_ref, im_col, eps, raw_pot_grad_t, ck_p, ck_s,
+                       uleaf_ref, apply_im, eps, raw_pot_grad_t, ck_p, ck_s,
                        *, max_exp: int, divergence_threshold: float):
     """One NUTS transition, transposed layout.
 
@@ -62,8 +62,9 @@ def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
     ``dirs_ref``/``ubias_ref``/``uleaf_ref`` are (K-or-L, block) VMEM
     REFS (inputs, or PRNG-filled scratch) read row-wise with dynamic
     sublane slices — Mosaic lowers ``ref[pl.ds(j, 1), :]`` but not
-    ``dynamic_slice`` on loaded values; ``im_col`` is (dim, block)
-    (pre-broadcast); checkpoint scratch (K, dim, block).  Returns
+    ``dynamic_slice`` on loaded values; ``apply_im(p) = M^{-1} p``
+    abstracts the metric (elementwise for scalar/diag, a sublane
+    dot_general for dense); checkpoint scratch (K, dim, block).  Returns
     ``(prop, div, turn, accept, leaves, doublings)`` with
     ``prop = (q, U(1,B), g, energy(1,B), weight(1,B), slpa(1,B))``.
     """
@@ -85,11 +86,11 @@ def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
         return u, g
 
     def ke(p):
-        return 0.5 * jnp.sum(im_col * p * p, axis=0, keepdims=True)
+        return 0.5 * jnp.sum(p * apply_im(p), axis=0, keepdims=True)
 
     def leapfrog(q, p, g, d_eps):
         p1 = p - 0.5 * d_eps * g
-        q1 = q + d_eps * (im_col * p1)
+        q1 = q + d_eps * apply_im(p1)
         u1, g1 = pot_grad(q1)
         p1 = p1 - 0.5 * d_eps * g1
         return q1, p1, u1, g1
@@ -99,8 +100,9 @@ def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
 
     def turning(p_l, p_r, rho_sum):
         rho = rho_sum - (p_r + p_l) * 0.5
-        t_l = jnp.sum(im_col * p_l * rho, axis=0, keepdims=True) <= 0
-        t_r = jnp.sum(im_col * p_r * rho, axis=0, keepdims=True) <= 0
+        v = apply_im(rho)
+        t_l = jnp.sum(p_l * v, axis=0, keepdims=True) <= 0
+        t_r = jnp.sum(p_r * v, axis=0, keepdims=True) <= 0
         return (t_l | t_r).astype(jnp.float32)
 
     # carry inits derived from loaded data (replicated-layout rule)
@@ -224,12 +226,9 @@ def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
                 sj = ck_s[pl.ds(j, 1), :, :][0]
                 rho_sum = psum_b_raw - sj + pj
                 rho = rho_sum - (pj + bp) * 0.5
-                t_l = jnp.sum(
-                    im_col * pj * rho, axis=0, keepdims=True
-                ) <= 0
-                t_r = jnp.sum(
-                    im_col * bp * rho, axis=0, keepdims=True
-                ) <= 0
+                v = apply_im(rho)
+                t_l = jnp.sum(pj * v, axis=0, keepdims=True) <= 0
+                t_r = jnp.sum(bp * v, axis=0, keepdims=True) <= 0
                 return jnp.maximum(t_acc, (t_l | t_r).astype(jnp.float32))
 
             term_b = jax.lax.fori_loop(lo, hi, check_body, zero_s)
@@ -308,7 +307,7 @@ def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
 
 def _make_kernel_t(pot_grad_builder_t: Callable, n_data: int, *,
                    max_exp: int, divergence_threshold: float,
-                   internal_prng: bool):
+                   internal_prng: bool, dense_metric: bool = False):
     def _kernel(*args):
         if internal_prng:
             (eps_ref, seed_ref, q_ref, u0_ref, g_ref), refs = (
@@ -318,18 +317,35 @@ def _make_kernel_t(pot_grad_builder_t: Callable, n_data: int, *,
             (eps_ref, q_ref, u0_ref, g_ref, p_ref, dirs_ref, ubias_ref,
              uleaf_ref), refs = args[:8], args[8:]
         data_refs = refs[:n_data]
+        refs = refs[n_data:]
+        im_ref = refs[0]
+        refs = refs[1:]
+        if dense_metric and internal_prng:
+            ms_ref = refs[0]  # mass_matrix_sqrt (dim, dim): p = L^{-T} z
+            refs = refs[1:]
         if internal_prng:
             # streams are generated on-chip into scratch refs (the core
             # row-reads them with dynamic sublane slices)
-            (im_ref, q_out, u_out, g_out, stats_out, ck_p, ck_s,
-             dirs_ref, ubias_ref, uleaf_ref) = refs[n_data:]
+            (q_out, u_out, g_out, stats_out, ck_p, ck_s,
+             dirs_ref, ubias_ref, uleaf_ref) = refs
         else:
-            (im_ref, q_out, u_out, g_out, stats_out, ck_p, ck_s) = (
-                refs[n_data:]
-            )
+            (q_out, u_out, g_out, stats_out, ck_p, ck_s) = refs
         eps = eps_ref[0]
         dim, blk = q_ref.shape
-        im_col = im_ref[:] * jnp.ones((1, blk), jnp.float32)  # (dim, blk)
+
+        if dense_metric:
+            im_mat = im_ref[:]  # (dim, dim)
+
+            def apply_im(p):
+                return jax.lax.dot_general(
+                    im_mat, p, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        else:
+            im_col = im_ref[:] * jnp.ones((1, blk), jnp.float32)
+
+            def apply_im(p):
+                return im_col * p
 
         raw_pot_grad_t = pot_grad_builder_t(*[r[:] for r in data_refs])
 
@@ -338,7 +354,14 @@ def _make_kernel_t(pot_grad_builder_t: Callable, n_data: int, *,
             v1 = _uniform_from_bits(pltpu.prng_random_bits((dim, blk)))
             v2 = _uniform_from_bits(pltpu.prng_random_bits((dim, blk)))
             z = jnp.sqrt(-2.0 * jnp.log(v1)) * jnp.cos(2.0 * jnp.pi * v2)
-            p0 = jnp.sqrt(1.0 / im_col) * z
+            if dense_metric:
+                # momentum ~ N(0, M): p = L^{-T} z with L = chol(M^{-1})
+                p0 = jax.lax.dot_general(
+                    ms_ref[:], z, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                p0 = jnp.sqrt(1.0 / im_col) * z
             dirs_ref[:] = jnp.where(
                 _uniform_from_bits(
                     pltpu.prng_random_bits((max_exp, blk))
@@ -358,7 +381,7 @@ def _make_kernel_t(pot_grad_builder_t: Callable, n_data: int, *,
         prop, div, turn, accept, leaves, doublings = _transition_core_t(
             q_ref[:], u0_ref[:], g_ref[:], p0,
             dirs_ref, ubias_ref, uleaf_ref,
-            im_col, eps, raw_pot_grad_t, ck_p, ck_s,
+            apply_im, eps, raw_pot_grad_t, ck_p, ck_s,
             max_exp=max_exp, divergence_threshold=divergence_threshold,
         )
 
@@ -422,13 +445,30 @@ def make_fused_nuts_transition_small(
             d.reshape(1, -1) if d.ndim < 2 else d for d in data_rows
         ]
         eps = jnp.asarray(step_size, jnp.float32).reshape(1)
-        im_col = inverse_mass.reshape(dim, 1).astype(jnp.float32)
+        inverse_mass = jnp.asarray(inverse_mass, jnp.float32)
+        dense_metric = inverse_mass.ndim == 2
+        if dense_metric:
+            im_arg = inverse_mass
+            im_spec_shape = (dim, dim)
+            if internal_prng:
+                # momentum ~ N(0, M): p = L^{-T} z with L = chol(M^{-1})
+                # (metrics.py:56-58); computed once in XLA, input to the
+                # kernel
+                chol = jnp.linalg.cholesky(inverse_mass)
+                mass_sqrt = jax.scipy.linalg.solve_triangular(
+                    chol, jnp.eye(dim, dtype=jnp.float32),
+                    lower=True, trans=1,
+                )
+        else:
+            im_arg = inverse_mass.reshape(dim, 1)
+            im_spec_shape = (dim, 1)
 
         kernel = _make_kernel_t(
             pot_grad_builder_t, len(data_rows),
             max_exp=max_num_expansions,
             divergence_threshold=divergence_threshold,
             internal_prng=internal_prng,
+            dense_metric=dense_metric,
         )
         colblk = lambda rows: pl.BlockSpec(  # noqa: E731
             (rows, blk), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -470,7 +510,12 @@ def make_fused_nuts_transition_small(
             in_specs=[
                 *in_specs,
                 *[fixed(*d.shape) for d in data_rows],
-                fixed(dim, 1),
+                fixed(*im_spec_shape),
+                *(
+                    [fixed(dim, dim)]
+                    if dense_metric and internal_prng
+                    else []
+                ),
             ],
             out_specs=[colblk(dim), colblk(1), colblk(dim), colblk(8)],
             out_shape=[
@@ -495,7 +540,8 @@ def make_fused_nuts_transition_small(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(*in_args, *data_rows, im_col)
+        )(*in_args, *data_rows, im_arg,
+          *([mass_sqrt] if dense_metric and internal_prng else []))
         # back to the standard layout; stats columns as in nuts_fused
         return qt.T, ut.reshape(num_chains, 1), gt.T, stats_t.T
 
@@ -569,9 +615,8 @@ def sample_fused_small(
     def one(carry, k):
         q, u, g = carry
         k1, k2, k3, k4 = jax.random.split(k, 4)
-        p = mass_sqrt * jax.random.normal(
-            k1, (num_chains, dim), jnp.float32
-        )
+        z = jax.random.normal(k1, (num_chains, dim), jnp.float32)
+        p = z @ mass_sqrt.T if mass_sqrt.ndim == 2 else mass_sqrt * z
         dirs = jnp.where(
             jax.random.uniform(k2, (num_chains, max_num_expansions)) < 0.5,
             -1.0,

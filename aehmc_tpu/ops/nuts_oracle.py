@@ -97,12 +97,17 @@ def nuts_transition_oracle_generic(
     im = np.asarray(inverse_mass, np.float64)
     eps = float(step_size)
 
-    ke = lambda p: 0.5 * np.sum(im * p * p)  # noqa: E731
+    # scalar/diag im applies elementwise; dense (ndim 2) as a matmul
+    if im.ndim == 2:
+        apply_im = lambda p: im @ p  # noqa: E731
+    else:
+        apply_im = lambda p: im * p  # noqa: E731
+    ke = lambda p: 0.5 * np.sum(p * apply_im(p))  # noqa: E731
 
     def leapfrog(q, p, g, direction):
         d_eps = direction * eps
         p1 = p - 0.5 * d_eps * g
-        q1 = q + d_eps * (im * p1)
+        q1 = q + d_eps * apply_im(p1)
         g1 = grad(q1)
         p1 = p1 - 0.5 * d_eps * g1
         return q1, p1, g1
@@ -127,7 +132,8 @@ def nuts_transition_oracle_generic(
 
     def is_turning_fn(p_l, p_r, rho_sum):
         rho = rho_sum - (p_r + p_l) / 2.0
-        return (np.sum(im * p_l * rho) <= 0) or (np.sum(im * p_r * rho) <= 0)
+        v = apply_im(rho)
+        return (np.sum(p_l * v) <= 0) or (np.sum(p_r * v) <= 0)
 
     for d in range(max_num_expansions):
         direction = float(directions[d])

@@ -640,6 +640,55 @@ def nuts_fused_adaptive_10k():
     )
 
 
+def mvn25_fused():
+    """Config-3 posterior (25-d correlated MVN, DENSE inverse mass) through
+    the chains-in-lanes megakernel with in-kernel M^-1 p matmuls."""
+    from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
+
+    dim, rho = 25, 0.5
+    cov = np.full((dim, dim), rho, dtype=np.float32)
+    np.fill_diagonal(cov, 1.0)
+    prec = np.linalg.inv(cov.astype(np.float64)).astype(np.float32)
+    chains, draws = 512, 200
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (chains, dim), jnp.float32)
+    eps = jnp.asarray(0.8, jnp.float32)
+    imm = jnp.asarray(cov)  # dense inverse mass = true covariance
+
+    def pot_t(q_t, prec_mat):
+        return 0.5 * jnp.sum(q_t * (prec_mat @ q_t), axis=0)
+
+    f = jax.jit(
+        lambda k: sample_fused_small(
+            k, pot_t, [jnp.asarray(prec)], q0, draws, eps, imm,
+            max_num_expansions=10, block_chains=512,
+        )
+    )
+    out = f(jax.random.PRNGKey(1))
+    jax.block_until_ready(out[1])
+    dt, out = _median_time(lambda r: f(jax.random.PRNGKey(2 + r)))
+    stats = np.asarray(out[2])
+    evals = int(stats[:, :, 3].sum())
+    ess_sec, min_ess, capped = _ess_per_sec(out[1], dt)
+    log(
+        f"mvn25_fused: accept {stats[:, :, 1].mean():.3f}, "
+        f"div {int(stats[:, :, 4].sum())}, min ESS {min_ess:.0f}"
+    )
+    _emit(
+        "mvn25_dense_fused_smallk",
+        ess_sec,
+        "ESS/s",
+        {
+            "grad_evals_per_sec": round(evals / dt),
+            "chains": chains,
+            "draws": draws,
+            "min_ess": round(min_ess),
+            "ess_capped": capped,
+            "runs": TIMED_RUNS,
+            "stat": "median",
+        },
+    )
+
+
 CONFIGS = {
     "readme_nuts": readme_nuts,
     "linreg_warmup": linreg_warmup,
@@ -651,6 +700,7 @@ CONFIGS = {
     "nuts_fused_10k": nuts_fused_10k,
     "nuts_fused_generic_10k": nuts_fused_generic_10k,
     "funnel_fused": funnel_fused,
+    "mvn25_fused": mvn25_fused,
     "nuts_fused_adaptive_10k": nuts_fused_adaptive_10k,
 }
 

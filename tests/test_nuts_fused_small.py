@@ -115,3 +115,70 @@ def test_small_kernel_matches_standard_layout():
     np.testing.assert_allclose(
         np.asarray(q_a), np.asarray(q_b), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("eps", [0.3, 0.8])
+def test_small_kernel_dense_metric_matches_oracle(eps):
+    """Dense inverse mass matrix: in-kernel M^{-1}p matmuls for the
+    drift/KE/U-turn path must reproduce the (dense-generalized) oracle."""
+    rng = np.random.default_rng(11)
+    chains, dim, max_exp = 8, 6, 4
+    A = rng.normal(size=(dim, dim))
+    cov = (A @ A.T / dim + np.eye(dim)).astype(np.float32)
+    prec = np.linalg.inv(cov.astype(np.float64)).astype(np.float32)
+    imm = cov  # inverse mass = covariance (the Stan choice)
+
+    q = rng.normal(size=(chains, dim)).astype(np.float32)
+    p = rng.normal(size=(chains, dim)).astype(np.float32)
+    dirs = np.where(
+        rng.uniform(size=(chains, max_exp)) < 0.5, -1.0, 1.0
+    ).astype(np.float32)
+    ub = rng.uniform(size=(chains, max_exp)).astype(np.float32)
+    ul = rng.uniform(size=(chains, 2**max_exp)).astype(np.float32)
+
+    def potential_t(q_t, prec_mat):
+        return 0.5 * jnp.sum(q_t * (prec_mat @ q_t), axis=0)
+
+    transition = make_fused_nuts_transition_small(
+        potential_t, [jnp.asarray(prec)],
+        max_num_expansions=max_exp, block_chains=chains, interpret=True,
+    )
+    U = 0.5 * np.einsum(
+        "ci,ij,cj->c", q.astype(np.float64), prec.astype(np.float64),
+        q.astype(np.float64),
+    )
+    G = (q.astype(np.float64) @ prec.astype(np.float64)).astype(np.float32)
+    qo, uo, go, stats = transition(
+        jnp.asarray(q), jnp.asarray(U.astype(np.float32)),
+        jnp.asarray(G), jnp.asarray(p), jnp.asarray(dirs),
+        jnp.asarray(ub), jnp.asarray(ul), jnp.asarray(imm),
+        jnp.asarray(eps, jnp.float32),
+    )
+    qo, stats = np.asarray(qo), np.asarray(stats)
+
+    prec64 = prec.astype(np.float64)
+
+    def pot_np(qq):
+        return 0.5 * qq @ prec64 @ qq
+
+    def grad_np(qq):
+        return prec64 @ qq
+
+    agree = 0
+    for i in range(chains):
+        ref = nuts_transition_oracle_generic(
+            pot_np, grad_np, q[i], p[i], imm.astype(np.float64), eps,
+            dirs[i], ub[i], ul[i], max_exp,
+        )
+        same = (
+            int(stats[i, 2]) == ref["num_doublings"]
+            and int(stats[i, 3]) == ref["num_integration_steps"]
+            and int(stats[i, 4]) == int(ref["is_diverging"])
+            and int(stats[i, 5]) == int(ref["is_turning"])
+        )
+        if same:
+            agree += 1
+            assert np.max(np.abs(qo[i] - ref["position"])) < 2e-3, (eps, i)
+    # dense-metric matmuls run f32 in-kernel vs f64 in the oracle; allow
+    # at most one round-off-marginal chain to disagree per case
+    assert agree >= chains - 1, (eps, agree)
