@@ -460,7 +460,7 @@ def nuts_fused_10k():
     from aehmc_tpu.models import logistic_regression_data
     from aehmc_tpu.ops.nuts_fused import sample_fused_logistic
 
-    dim, n_points, num_chains, num_draws = 100, 1000, 10_240, 100
+    dim, n_points, num_chains, num_draws = 100, 1000, 10_240, 200
     X, y = logistic_regression_data(dim=dim, num_points=n_points)
     q0 = 0.1 * jax.random.normal(
         jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
@@ -479,15 +479,24 @@ def nuts_fused_10k():
     dt, out = _median_time(lambda r: f(jax.random.PRNGKey(2 + r)))
     stats = np.asarray(out[2])
     evals = int(stats[:, :, 3].sum())
+    ess_sec, min_ess, capped = _ess_per_sec(out[1], dt)
     log(
         f"nuts_fused: accept {stats[:, :, 1].mean():.3f}, "
-        f"div {int(stats[:, :, 4].sum())}"
+        f"div {int(stats[:, :, 4].sum())}, min ESS {min_ess:.0f}"
     )
     _emit(
         "nuts_fused_10k_chains_100d",
         evals / dt,
         "grad_evals/s",
-        {"chains": num_chains, "runs": TIMED_RUNS, "stat": "median"},
+        {
+            "ess_per_sec": round(ess_sec),
+            "chains": num_chains,
+            "draws": num_draws,
+            "min_ess": round(min_ess),
+            "ess_capped": capped,
+            "runs": TIMED_RUNS,
+            "stat": "median",
+        },
     )
 
 
