@@ -113,7 +113,7 @@ def warmup_fused(
 
     keys = jax.random.split(rng_key, num_steps)
     steps = jnp.arange(num_steps, dtype=jnp.int32)
-    ((q, u, g), adaptation_state), accept_hist = jax.lax.scan(
+    ((q, u, g), adaptation_state), _ = jax.lax.scan(
         one_step, ((initial_positions, u0, g0), adaptation_state),
         (steps, keys),
     )
