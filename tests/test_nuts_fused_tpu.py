@@ -58,3 +58,81 @@ def test_fused_sampler_inkernel_prng_moments(mode):
     assert stats[:, :, 1].mean() > 0.5  # healthy acceptance
     assert stats[:, :, 4].sum() == 0  # no divergences
     _check_moments(positions)
+
+
+@requires_tpu
+def test_small_kernel_internal_prng_moments():
+    from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
+
+    def potential_t(q_t, var_col):
+        return 0.5 * jnp.sum(q_t * q_t / var_col, axis=0)
+
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (CHAINS, DIM), jnp.float32
+    )
+    _, positions, stats = jax.jit(
+        lambda k: sample_fused_small(
+            k, potential_t, [jnp.asarray(VAR).reshape(-1, 1)], q0, DRAWS,
+            jnp.asarray(0.5, jnp.float32), jnp.ones(DIM, jnp.float32),
+            max_num_expansions=5, block_chains=CHAINS,
+        )
+    )(jax.random.PRNGKey(1))
+    stats = np.asarray(stats)
+    assert stats[:, :, 1].mean() > 0.5
+    assert stats[:, :, 4].sum() == 0
+    _check_moments(positions)
+
+
+@requires_tpu
+def test_small_kernel_dense_metric_moments():
+    """Correlated MVN with its covariance as the dense inverse mass: the
+    perfectly-preconditioned chain mixes like an iid sampler."""
+    from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
+
+    rho = 0.5
+    cov = np.full((DIM, DIM), rho, np.float32)
+    np.fill_diagonal(cov, 1.0)
+    prec = np.linalg.inv(cov.astype(np.float64)).astype(np.float32)
+
+    def potential_t(q_t, prec_mat):
+        return 0.5 * jnp.sum(q_t * (prec_mat @ q_t), axis=0)
+
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(2), (CHAINS, DIM), jnp.float32
+    )
+    _, positions, stats = jax.jit(
+        lambda k: sample_fused_small(
+            k, potential_t, [jnp.asarray(prec)], q0, DRAWS,
+            jnp.asarray(0.9, jnp.float32), jnp.asarray(cov),
+            max_num_expansions=6, block_chains=CHAINS,
+        )
+    )(jax.random.PRNGKey(3))
+    stats = np.asarray(stats)
+    assert stats[:, :, 1].mean() > 0.5
+    assert stats[:, :, 4].sum() == 0
+    draws = np.asarray(positions)[100:].reshape(-1, DIM)
+    np.testing.assert_allclose(draws.var(axis=0), 1.0, rtol=0.2)
+    corr = np.corrcoef(draws[:, 0], draws[:, 1])[0, 1]
+    assert abs(corr - rho) < 0.1
+
+
+@requires_tpu
+def test_adaptive_driver_recovers_variances():
+    from aehmc_tpu.ops.fused_driver import sample_fused_adaptive
+
+    def potential(q, var_row):
+        return 0.5 * jnp.sum(q * q / var_row, axis=-1)
+
+    q0 = jax.random.normal(jax.random.PRNGKey(4), (CHAINS, DIM), jnp.float32)
+    _, positions, stats, eps, imm = jax.jit(
+        lambda k: sample_fused_adaptive(
+            k, potential, [jnp.asarray(VAR)], q0, DRAWS, 300,
+            max_num_expansions=5, block_chains=CHAINS,
+        )
+    )(jax.random.PRNGKey(5))
+    np.testing.assert_allclose(np.asarray(imm), VAR, rtol=0.25)
+    assert 0.1 < float(eps) < 3.0
+    stats = np.asarray(stats)
+    accept = stats[:, :, 1].mean()
+    assert 0.6 < accept < 0.95  # tuned toward the 0.8 target
+    _check_moments(positions)
