@@ -1,8 +1,10 @@
-"""The five BASELINE.md benchmark configs.
+"""The BASELINE.md benchmark configs plus the sampler/kernel variants.
 
 Run:  python benchmarks/run.py [config ...]
 Configs: readme_nuts, linreg_warmup, mvn25_dense, funnel, logistic_10k,
-chees_10k, nuts_fused_10k, all (nuts_fused_10k needs a real TPU)
+chees_10k, meads_10k, nuts_fused_10k, nuts_fused_generic_10k,
+funnel_fused, mvn25_fused, nuts_fused_adaptive_10k, all
+(the *fused* configs need a real TPU).
 
 Each prints one JSON line per config (stdout); narration on stderr.
 ``bench.py`` at the repo root remains the driver's single headline metric.
