@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from aehmc_tpu import checkpoint, nuts
 from aehmc_tpu.models import std_normal
@@ -64,10 +65,7 @@ def test_resume_continues_bitwise(tmp_path):
     np.testing.assert_array_equal(full, resumed)
 
 
-import pytest
-
-
-@pytest.mark.parametrize("algorithm", ["nuts", "chees", "meads"])
+@pytest.mark.parametrize("algorithm", ["nuts", "ghmc", "chees", "meads"])
 def test_sample_sharded_checkpoint_resume(tmp_path, algorithm):
     """Driver-integrated checkpointing: a run killed mid-sampling and
     resumed reproduces the uninterrupted run bit-for-bit (same mesh) —
