@@ -700,6 +700,61 @@ def mvn25_fused():
     )
 
 
+def nuts_fused_t_10k():
+    """Config-5 posterior through the CHAINS-IN-LANES megakernel: at
+    dim=100 the transposed layout still wins — per-chain scalars are
+    single (1, block) rows and the (1000,100)@(100,256) gradient matmul
+    feeds the MXU fine."""
+    from aehmc_tpu.models import logistic_regression_data
+    from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
+
+    dim, n_points, num_chains, num_draws = 100, 1000, 10_240, 200
+    X, y = logistic_regression_data(dim=dim, num_points=n_points)
+    y_col = np.asarray(y).reshape(-1, 1).astype(np.float32)
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
+    )
+    eps = jnp.asarray(0.5148, jnp.float32)
+    imm = jnp.full((dim,), 0.3386, jnp.float32)
+
+    def pot_t(q_t, Xv, y_c):
+        logits = Xv @ q_t  # (N, block) MXU matmul
+        sp = jnp.maximum(logits, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        loglik = jnp.sum(y_c * logits - sp, axis=0)
+        return -loglik + 0.5 * jnp.sum(q_t * q_t, axis=0)
+
+    f = jax.jit(
+        lambda k: sample_fused_small(
+            k, pot_t, [X, y_col], q0, num_draws, eps, imm,
+            max_num_expansions=6, block_chains=256,
+        )
+    )
+    out = f(jax.random.PRNGKey(1))
+    jax.block_until_ready(out[1])
+    dt, out = _median_time(lambda r: f(jax.random.PRNGKey(2 + r)))
+    stats = np.asarray(out[2])
+    evals = int(stats[:, :, 3].sum())
+    ess_sec, min_ess, capped = _ess_per_sec(out[1], dt)
+    log(
+        f"nuts_fused_t: accept {stats[:, :, 1].mean():.3f}, "
+        f"div {int(stats[:, :, 4].sum())}, min ESS {min_ess:.0f}"
+    )
+    _emit(
+        "nuts_fused_transposed_10k",
+        evals / dt,
+        "grad_evals/s",
+        {
+            "ess_per_sec": round(ess_sec),
+            "chains": num_chains,
+            "draws": num_draws,
+            "min_ess": round(min_ess),
+            "ess_capped": capped,
+            "runs": TIMED_RUNS,
+            "stat": "median",
+        },
+    )
+
+
 CONFIGS = {
     "readme_nuts": readme_nuts,
     "linreg_warmup": linreg_warmup,
@@ -710,6 +765,7 @@ CONFIGS = {
     "meads_10k": meads_10k,
     "nuts_fused_10k": nuts_fused_10k,
     "nuts_fused_generic_10k": nuts_fused_generic_10k,
+    "nuts_fused_t_10k": nuts_fused_t_10k,
     "funnel_fused": funnel_fused,
     "mvn25_fused": mvn25_fused,
     "nuts_fused_adaptive_10k": nuts_fused_adaptive_10k,
