@@ -613,17 +613,20 @@ def nuts_fused_adaptive_10k():
         jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
     )
 
-    def potential(q, Xv, y_row):
-        logits = q @ Xv.T
+    y_col = np.asarray(y).reshape(-1, 1).astype(np.float32)
+
+    def potential_t(q_t, Xv, y_c):
+        logits = Xv @ q_t
         sp = jnp.maximum(logits, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(logits)))
         return (
-            -jnp.sum(y_row * logits - sp, axis=-1)
-            + 0.5 * jnp.sum(q * q, axis=-1)
+            -jnp.sum(y_c * logits - sp, axis=0)
+            + 0.5 * jnp.sum(q_t * q_t, axis=0)
         )
 
     f = jax.jit(
         lambda k: sample_fused_adaptive(
-            k, potential, [X, y], q0, num_draws, num_warmup,
+            k, None, [X, y_col], q0, num_draws, num_warmup,
+            potential_fn_t=potential_t,
             max_num_expansions=6, block_chains=256,
         )
     )
@@ -668,36 +671,41 @@ def mvn25_fused():
     def pot_t(q_t, prec_mat):
         return 0.5 * jnp.sum(q_t * (prec_mat @ q_t), axis=0)
 
-    f = jax.jit(
-        lambda k: sample_fused_small(
-            k, pot_t, [jnp.asarray(prec)], q0, draws, eps, imm,
-            max_num_expansions=10, block_chains=512,
+    for num_chains, blk in ((512, 512), (2048, 1024)):
+        q0c = jax.random.normal(
+            jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
         )
-    )
-    out = f(jax.random.PRNGKey(1))
-    jax.block_until_ready(out[1])
-    dt, out = _median_time(lambda r: f(jax.random.PRNGKey(2 + r)))
-    stats = np.asarray(out[2])
-    evals = int(stats[:, :, 3].sum())
-    ess_sec, min_ess, capped = _ess_per_sec(out[1], dt)
-    log(
-        f"mvn25_fused: accept {stats[:, :, 1].mean():.3f}, "
-        f"div {int(stats[:, :, 4].sum())}, min ESS {min_ess:.0f}"
-    )
-    _emit(
-        "mvn25_dense_fused_smallk",
-        ess_sec,
-        "ESS/s",
-        {
-            "grad_evals_per_sec": round(evals / dt),
-            "chains": chains,
-            "draws": draws,
-            "min_ess": round(min_ess),
-            "ess_capped": capped,
-            "runs": TIMED_RUNS,
-            "stat": "median",
-        },
-    )
+        f = jax.jit(
+            lambda k, q0c=q0c, blk=blk: sample_fused_small(
+                k, pot_t, [jnp.asarray(prec)], q0c, draws, eps, imm,
+                max_num_expansions=10, block_chains=blk,
+            )
+        )
+        out = f(jax.random.PRNGKey(1))
+        jax.block_until_ready(out[1])
+        dt, out = _median_time(lambda r: f(jax.random.PRNGKey(2 + r)))
+        stats = np.asarray(out[2])
+        evals = int(stats[:, :, 3].sum())
+        ess_sec, min_ess, capped = _ess_per_sec(out[1], dt)
+        log(
+            f"mvn25_fused {num_chains}: accept "
+            f"{stats[:, :, 1].mean():.3f}, div "
+            f"{int(stats[:, :, 4].sum())}, min ESS {min_ess:.0f}"
+        )
+        _emit(
+            f"mvn25_dense_fused_smallk_{num_chains}",
+            ess_sec,
+            "ESS/s",
+            {
+                "grad_evals_per_sec": round(evals / dt),
+                "chains": num_chains,
+                "draws": draws,
+                "min_ess": round(min_ess),
+                "ess_capped": capped,
+                "runs": TIMED_RUNS,
+                "stat": "median",
+            },
+        )
 
 
 def nuts_fused_t_10k():
