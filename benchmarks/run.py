@@ -763,6 +763,49 @@ def nuts_fused_t_10k():
     )
 
 
+def eight_schools_fused():
+    """Eight schools (non-centered) end-to-end: self-tuning warmup +
+    sampling through the chains-in-lanes megakernel.  Metric: wall-clock
+    for the complete 1000-step run at 2048 chains."""
+    from aehmc_tpu.models import eight_schools_t
+    from aehmc_tpu.ops.fused_driver import sample_fused_adaptive
+
+    potential_t, data, _ = eight_schools_t()
+    chains = 2048
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (chains, 10), jnp.float32
+    )
+    f = jax.jit(
+        lambda k: sample_fused_adaptive(
+            k, None, list(data), q0, num_samples=500, num_warmup=500,
+            potential_fn_t=potential_t, max_num_expansions=10,
+            block_chains=1024, target_acceptance_rate=0.85,
+        )
+    )
+    out = f(jax.random.PRNGKey(1))
+    jax.block_until_ready(out[1])
+    dt, out = _median_time(lambda r: f(jax.random.PRNGKey(2 + r)))
+    _, pos, stats, eps, imm = out
+    stats = np.asarray(stats)
+    mu = np.asarray(pos)[100:, :, 0]
+    log(
+        f"8schools_fused: eps {float(eps):.3f}, accept "
+        f"{stats[:, :, 1].mean():.3f}, mu {mu.mean():.2f}+-{mu.std():.2f}"
+    )
+    _emit(
+        "eight_schools_adaptive_full_run",
+        dt * 1e3,
+        "ms",
+        {
+            "chains": chains,
+            "steps": 1000,
+            "note": "500 warmup + 500 draws, self-tuning, all in-kernel",
+            "runs": TIMED_RUNS,
+            "stat": "median",
+        },
+    )
+
+
 CONFIGS = {
     "readme_nuts": readme_nuts,
     "linreg_warmup": linreg_warmup,
@@ -775,6 +818,7 @@ CONFIGS = {
     "nuts_fused_generic_10k": nuts_fused_generic_10k,
     "nuts_fused_t_10k": nuts_fused_t_10k,
     "funnel_fused": funnel_fused,
+    "eight_schools_fused": eight_schools_fused,
     "mvn25_fused": mvn25_fused,
     "nuts_fused_adaptive_10k": nuts_fused_adaptive_10k,
 }
