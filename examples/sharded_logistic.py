@@ -78,14 +78,28 @@ def main():
           f"stats {sorted(idata_dict['sample_stats'])}")
 
     # --- 3. fused megakernel fast path (TPU only) -----------------------
+    # chains-in-lanes layout (the fastest path at any dim, PERF.md);
+    # note the TRANSPOSED potential contract: q_t is (dim, block)
     if on_tpu:
-        from aehmc_tpu.ops.nuts_fused import sample_fused_logistic
+        from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
+
+        y_col = np.asarray(y).reshape(-1, 1).astype(np.float32)
+
+        def potential_t(q_t, Xv, y_c):
+            logits = Xv @ q_t
+            sp = jnp.maximum(logits, 0.0) + jnp.log1p(
+                jnp.exp(-jnp.abs(logits))
+            )
+            return (
+                -jnp.sum(y_c * logits - sp, axis=0)
+                + 0.5 * jnp.sum(q_t * q_t, axis=0)
+            )
 
         fused = jax.jit(
-            lambda k: sample_fused_logistic(
-                k, X, y, q0, num_draws,
+            lambda k: sample_fused_small(
+                k, potential_t, [X, y_col], q0, num_draws,
                 res.step_size, res.inverse_mass_matrix,
-                block_chains=256, internal_prng=True,
+                max_num_expansions=6, block_chains=256,
             )
         )
         jax.block_until_ready(fused(jax.random.PRNGKey(2))[1])  # compile
@@ -96,7 +110,8 @@ def main():
         stats = np.asarray(stats)
         evals = stats[:, :, 3].sum()
         print(
-            f"fused megakernel: {evals / dt / 1e6:.1f}M grad-evals/s, "
+            f"fused megakernel (chains-in-lanes): "
+            f"{evals / dt / 1e6:.1f}M grad-evals/s, "
             f"accept {stats[:, :, 1].mean():.3f}"
         )
 
