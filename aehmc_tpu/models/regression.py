@@ -84,3 +84,26 @@ def logistic_regression(
 
     example_position = jnp.zeros(dim, dtype=jnp.float32)
     return logprob_fn, example_position
+
+
+def logistic_regression_t(
+    dim: int = 100, num_points: int = 1_000, seed: int = 42
+):
+    """The :func:`logistic_regression` posterior as a TRANSPOSED batched
+    potential for the chains-in-lanes megakernel
+    (:mod:`aehmc_tpu.ops.nuts_fused_small`): ``potential_t(q_t, X, y_col)``
+    with ``q_t`` of shape (dim, block).
+
+    Returns ``(potential_t, data, example_position)`` — the dataset is a
+    DATA argument (Pallas kernels cannot capture array constants).
+    """
+    X, y = logistic_regression_data(dim, num_points, seed)
+    y_col = y.reshape(-1, 1)
+
+    def potential_t(q_t, Xv, y_c):
+        logits = Xv @ q_t  # (points, block) MXU matmul
+        sp = jnp.maximum(logits, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        loglik = jnp.sum(y_c * logits - sp, axis=0)
+        return -loglik + 0.5 * jnp.sum(q_t * q_t, axis=0)
+
+    return potential_t, (X, y_col), jnp.zeros(dim)

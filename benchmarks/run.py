@@ -613,19 +613,13 @@ def nuts_fused_adaptive_10k():
         jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
     )
 
-    y_col = np.asarray(y).reshape(-1, 1).astype(np.float32)
+    from aehmc_tpu.models import logistic_regression_t
 
-    def potential_t(q_t, Xv, y_c):
-        logits = Xv @ q_t
-        sp = jnp.maximum(logits, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-        return (
-            -jnp.sum(y_c * logits - sp, axis=0)
-            + 0.5 * jnp.sum(q_t * q_t, axis=0)
-        )
+    potential_t, data_t, _ = logistic_regression_t(dim=dim, num_points=1000)
 
     f = jax.jit(
         lambda k: sample_fused_adaptive(
-            k, None, [X, y_col], q0, num_draws, num_warmup,
+            k, None, list(data_t), q0, num_draws, num_warmup,
             potential_fn_t=potential_t,
             max_num_expansions=6, block_chains=256,
         )
@@ -716,24 +710,19 @@ def nuts_fused_t_10k():
     from aehmc_tpu.models import logistic_regression_data
     from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
 
-    dim, n_points, num_chains, num_draws = 100, 1000, 10_240, 200
-    X, y = logistic_regression_data(dim=dim, num_points=n_points)
-    y_col = np.asarray(y).reshape(-1, 1).astype(np.float32)
+    from aehmc_tpu.models import logistic_regression_t
+
+    dim, num_chains, num_draws = 100, 10_240, 200
+    pot_t, data, _ = logistic_regression_t(dim=dim, num_points=1000)
     q0 = 0.1 * jax.random.normal(
         jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
     )
     eps = jnp.asarray(0.5148, jnp.float32)
     imm = jnp.full((dim,), 0.3386, jnp.float32)
 
-    def pot_t(q_t, Xv, y_c):
-        logits = Xv @ q_t  # (N, block) MXU matmul
-        sp = jnp.maximum(logits, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-        loglik = jnp.sum(y_c * logits - sp, axis=0)
-        return -loglik + 0.5 * jnp.sum(q_t * q_t, axis=0)
-
     f = jax.jit(
         lambda k: sample_fused_small(
-            k, pot_t, [X, y_col], q0, num_draws, eps, imm,
+            k, pot_t, list(data), q0, num_draws, eps, imm,
             max_num_expansions=6, block_chains=256,
         )
     )

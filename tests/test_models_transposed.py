@@ -44,3 +44,13 @@ def test_eight_schools_transposed_matches():
     _check_pair(
         logprob_fn, lambda q_t: potential_t(q_t, *data), 10, 1
     )
+
+
+def test_logistic_transposed_matches():
+    from aehmc_tpu.models import logistic_regression, logistic_regression_t
+
+    logprob_fn, _ = logistic_regression(dim=8, num_points=32)
+    potential_t, data, _ = logistic_regression_t(dim=8, num_points=32)
+    _check_pair(
+        logprob_fn, lambda q_t: potential_t(q_t, *data), 8, 2
+    )
