@@ -572,7 +572,7 @@ def funnel_fused():
     eps = jnp.asarray(0.2, jnp.float32)
     imm = jnp.ones(dim, jnp.float32)
     dummy = jnp.zeros((1, 1), jnp.float32)
-    for num_chains, blk in ((512, 512), (2048, 1024)):
+    for num_chains, blk in ((512, 512), (2048, 1024), (8192, 1024)):
         q0 = 0.1 * jax.random.normal(
             jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
         )
