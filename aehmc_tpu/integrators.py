@@ -14,7 +14,6 @@ kinetic energy.
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 from aehmc_tpu.types import IntegratorState
 
