@@ -67,6 +67,28 @@ except Exception:  # pragma: no cover
 
 NEG_INF = -1e30  # VMEM-friendly stand-in for -inf in log-weights
 
+# In-kernel PRNG stream layout: stream(draw t, block b) = seed + t *
+# DRAW_SEED_STRIDE + b * BLOCK_SEED_STRIDE (mod 2^32).  With one random
+# base seed per run these strides keep every (draw, block) stream
+# distinct for any practical draw/block count — independent per-draw
+# seeds would birthday-collide at ~2^15.5 draws and can alias across the
+# linear block offsets.
+BLOCK_SEED_STRIDE = 7919
+DRAW_SEED_STRIDE = 104729
+
+
+def derive_draw_seeds(rng_key: jax.Array, num_draws: int) -> jax.Array:
+    """Per-draw kernel seeds: one random base + fixed per-draw stride.
+
+    Matches the loop-in-kernel scheme (``_make_sampling_kernel``), so the
+    scan-of-transitions and loop-in-kernel paths use the same stream
+    layout.  int32 wrap-around is benign (streams live mod 2^32).
+    """
+    base = jax.random.randint(
+        rng_key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+    )
+    return base + jnp.arange(num_draws, dtype=jnp.int32) * DRAW_SEED_STRIDE
+
 
 def _popcount_scalar(x, bits=16):
     total = jnp.zeros_like(x)
@@ -442,7 +464,7 @@ def _make_kernel(pot_grad_builder: Callable, n_data: int, *, max_exp: int,
         raw_pot_grad = pot_grad_builder(*[r[:] for r in data_refs])
 
         if internal_prng:
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919)
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * BLOCK_SEED_STRIDE)
             p0, dirs_vals, ubias_vals, uleaf_vals = _draw_randomness(
                 bc, dim, max_exp, im
             )
@@ -469,7 +491,8 @@ def _make_kernel(pot_grad_builder: Callable, n_data: int, *, max_exp: int,
 
 def _make_sampling_kernel(pot_grad_builder: Callable, n_data: int, *,
                           max_exp: int, divergence_threshold: float,
-                          num_draws: int, block_chains: int):
+                          num_draws: int, block_chains: int,
+                          collect_positions: bool = True):
     """Build the FULLY-FUSED sampling-loop kernel.
 
     Grid is ``(num_blocks,)``; each grid step runs ALL ``num_draws``
@@ -479,15 +502,23 @@ def _make_sampling_kernel(pot_grad_builder: Callable, n_data: int, *,
     with explicit async DMA (the outputs use ``memory_space=ANY`` so the
     kernel addresses the full arrays).  One kernel invocation runs the
     whole sampling phase — zero XLA glue, zero kernel dispatches and zero
-    block-pipeline machinery between transitions.
+    block-pipeline machinery between transitions.  With
+    ``collect_positions=False`` the positions output, its staging buffer
+    and its per-draw DMA are omitted entirely — long runs then pay no
+    HBM footprint or bandwidth for draws nobody keeps (only the stats
+    stream ships).
     """
 
     def _kernel(eps_ref, seed_ref, q_ref, u0_ref, g_ref, *refs):
         data_refs = refs[:n_data]
-        (im_ref, pos_hbm, stats_hbm, qf_out, uf_out, gf_out,
-         sq, su, sg, ck_p, ck_s, pos_stage, stats_stage, sems) = (
-            refs[n_data:]
-        )
+        refs = refs[n_data:]
+        if collect_positions:
+            (im_ref, pos_hbm, stats_hbm, qf_out, uf_out, gf_out,
+             sq, su, sg, ck_p, ck_s, pos_stage, stats_stage, sems) = refs
+        else:
+            (im_ref, stats_hbm, qf_out, uf_out, gf_out,
+             sq, su, sg, ck_p, ck_s, stats_stage, sems) = refs
+            pos_hbm = pos_stage = None
         b = pl.program_id(0)
         eps = eps_ref[0]
         im = im_ref[:]
@@ -497,7 +528,8 @@ def _make_sampling_kernel(pot_grad_builder: Callable, n_data: int, *,
         su[:] = u0_ref[:]
         sg[:] = g_ref[:]
         # zero the lane padding once (the DMA ships full 128-lane rows)
-        pos_stage[:] = jnp.zeros(pos_stage.shape, pos_stage.dtype)
+        if collect_positions:
+            pos_stage[:] = jnp.zeros(pos_stage.shape, pos_stage.dtype)
         stats_stage[:] = jnp.zeros(stats_stage.shape, stats_stage.dtype)
 
         raw_pot_grad = pot_grad_builder(*[r[:] for r in data_refs])
@@ -505,7 +537,11 @@ def _make_sampling_kernel(pot_grad_builder: Callable, n_data: int, *,
         def one_draw(t, _):
             # fresh per-(block, draw) stream — no reliance on hardware
             # PRNG state surviving across iterations
-            pltpu.prng_seed(seed_ref[0] + b * 7919 + t * 104729)
+            pltpu.prng_seed(
+                seed_ref[0]
+                + b * BLOCK_SEED_STRIDE
+                + t * DRAW_SEED_STRIDE
+            )
             p0, dirs_vals, ubias_vals, uleaf_vals = _draw_randomness(
                 bc, dim, max_exp, im
             )
@@ -520,7 +556,6 @@ def _make_sampling_kernel(pot_grad_builder: Callable, n_data: int, *,
             su[:] = prop[1][:, 0:1]
             sg[:] = prop[2]
 
-            pos_stage[:, :, 0:dim] = prop[0][None]
             stats_stage[:, :, 0:8] = jnp.concatenate(
                 [
                     prop[3][:, 0:1], accept[:, 0:1], doublings[:, 0:1],
@@ -529,20 +564,23 @@ def _make_sampling_kernel(pot_grad_builder: Callable, n_data: int, *,
                 ],
                 axis=1,
             )[None]
-            copy_pos = pltpu.make_async_copy(
-                pos_stage,
-                pos_hbm.at[b, pl.ds(t, 1)],
-                sems.at[0],
-            )
             copy_stats = pltpu.make_async_copy(
                 stats_stage,
                 stats_hbm.at[b, pl.ds(t, 1)],
                 sems.at[1],
             )
-            copy_pos.start()
+            if collect_positions:
+                pos_stage[:, :, 0:dim] = prop[0][None]
+                copy_pos = pltpu.make_async_copy(
+                    pos_stage,
+                    pos_hbm.at[b, pl.ds(t, 1)],
+                    sems.at[0],
+                )
+                copy_pos.start()
             copy_stats.start()
             # synchronous for simplicity: ~100 KB per draw, microseconds
-            copy_pos.wait()
+            if collect_positions:
+                copy_pos.wait()
             copy_stats.wait()
             return _
 
@@ -558,8 +596,12 @@ def _make_sampling_kernel(pot_grad_builder: Callable, n_data: int, *,
 def _fused_sampling_call(pot_grad_builder, data, q, potential, grad,
                          inverse_mass, step_size, seed, num_draws, *,
                          max_num_expansions: int,
-                         divergence_threshold: float, block_chains: int):
-    """Drive the fully-fused sampling-loop kernel (in-kernel PRNG only)."""
+                         divergence_threshold: float, block_chains: int,
+                         collect_positions: bool = True):
+    """Drive the fully-fused sampling-loop kernel (in-kernel PRNG only).
+
+    ``collect_positions=False`` omits the positions output and its DMA
+    entirely (returns ``pos=None``)."""
     num_chains, dim = q.shape
     K = max_num_expansions
     assert max_num_expansions <= 14, "max_num_expansions > 14 unsupported"
@@ -578,6 +620,7 @@ def _fused_sampling_call(pot_grad_builder, data, q, potential, grad,
         divergence_threshold=divergence_threshold,
         num_draws=num_draws,
         block_chains=block_chains,
+        collect_positions=collect_positions,
     )
     row = lambda cols: pl.BlockSpec(  # noqa: E731
         (block_chains, cols), lambda b: (b, 0), memory_space=pltpu.VMEM
@@ -586,7 +629,24 @@ def _fused_sampling_call(pot_grad_builder, data, q, potential, grad,
         shape, (lambda b: (0,) * len(shape)), memory_space=pltpu.VMEM
     )
     hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
-    pos, stats, qf, uf, gf = pl.pallas_call(
+    pos_out_specs = [hbm_spec] if collect_positions else []
+    pos_out_shape = (
+        [
+            # (blocks, draws, bc, ...) so each draw's DMA writes one full
+            # contiguous block; reassembled to (draws, chains, ...) below
+            jax.ShapeDtypeStruct(
+                (grid[0], num_draws, block_chains, dpad), jnp.float32
+            )
+        ]
+        if collect_positions
+        else []
+    )
+    pos_scratch = (
+        [pltpu.VMEM((1, block_chains, dpad), jnp.float32)]
+        if collect_positions
+        else []
+    )
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -597,15 +657,11 @@ def _fused_sampling_call(pot_grad_builder, data, q, potential, grad,
             fixed(1, dim),
         ],
         out_specs=[
-            hbm_spec, hbm_spec,
+            *pos_out_specs, hbm_spec,
             row(dim), row(1), row(dim),
         ],
         out_shape=[
-            # (blocks, draws, bc, ...) so each draw's DMA writes one full
-            # contiguous block; reassembled to (draws, chains, ...) below
-            jax.ShapeDtypeStruct(
-                (grid[0], num_draws, block_chains, dpad), jnp.float32
-            ),
+            *pos_out_shape,
             jax.ShapeDtypeStruct(
                 (grid[0], num_draws, block_chains, 128), jnp.float32
             ),
@@ -619,7 +675,7 @@ def _fused_sampling_call(pot_grad_builder, data, q, potential, grad,
             pltpu.VMEM((block_chains, dim), jnp.float32),
             pltpu.VMEM((block_chains, K, dim), jnp.float32),
             pltpu.VMEM((block_chains, K, dim), jnp.float32),
-            pltpu.VMEM((1, block_chains, dpad), jnp.float32),
+            *pos_scratch,
             pltpu.VMEM((1, block_chains, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -635,10 +691,15 @@ def _fused_sampling_call(pot_grad_builder, data, q, potential, grad,
         *data,
         im_row,
     )
-    # (blocks, draws, bc, ...) -> (draws, chains, ...); drop lane padding
-    pos = jnp.transpose(pos[..., 0:dim], (1, 0, 2, 3)).reshape(
-        num_draws, num_chains, dim
-    )
+    if collect_positions:
+        pos, stats, qf, uf, gf = outs
+        # (blocks, draws, bc, ...) -> (draws, chains, ...); no padding
+        pos = jnp.transpose(pos[..., 0:dim], (1, 0, 2, 3)).reshape(
+            num_draws, num_chains, dim
+        )
+    else:
+        stats, qf, uf, gf = outs
+        pos = None
     stats = jnp.transpose(stats[..., 0:8], (1, 0, 2, 3)).reshape(
         num_draws, num_chains, 8
     )
@@ -935,9 +996,8 @@ def sample_fused(
             max_num_expansions=max_num_expansions,
             divergence_threshold=divergence_threshold,
             block_chains=block_chains,
+            collect_positions=collect_positions,
         )
-        if not collect_positions:
-            positions = None
         return qf, positions, stats
 
     transition = make_fused_nuts_transition(
@@ -958,10 +1018,7 @@ def sample_fused(
             out = qn if collect_positions else None
             return (qn, un, gn), (out, stats)
 
-        seeds = jax.random.randint(
-            rng_key, (num_samples,), 0, jnp.iinfo(jnp.int32).max,
-            dtype=jnp.int32,
-        )
+        seeds = derive_draw_seeds(rng_key, num_samples)
         (qf, _, _), (positions, stats) = jax.lax.scan(
             one_seeded, (initial_positions.astype(jnp.float32), u0, g0),
             seeds,
@@ -1051,9 +1108,8 @@ def sample_fused_logistic(
             max_num_expansions=max_num_expansions,
             divergence_threshold=divergence_threshold,
             block_chains=block_chains,
+            collect_positions=collect_positions,
         )
-        if not collect_positions:
-            positions = None
         return qf, positions, stats
 
     if internal_prng:
@@ -1069,10 +1125,7 @@ def sample_fused_logistic(
             out = qn if collect_positions else None
             return (qn, un, gn), (out, stats)
 
-        seeds = jax.random.randint(
-            rng_key, (num_samples,), 0, jnp.iinfo(jnp.int32).max,
-            dtype=jnp.int32,
-        )
+        seeds = derive_draw_seeds(rng_key, num_samples)
         (qf, _, _), (positions, stats) = jax.lax.scan(
             one_seeded, (initial_positions.astype(jnp.float32), u0, g0),
             seeds,

@@ -46,7 +46,9 @@ except Exception:  # pragma: no cover
     _PALLAS_IMPORTED = False
 
 from aehmc_tpu.ops.nuts_fused import (
+    BLOCK_SEED_STRIDE,
     NEG_INF,
+    derive_draw_seeds,
     _popcount_scalar,
     _trailing_ones_scalar,
     _uniform_from_bits,
@@ -350,7 +352,7 @@ def _make_kernel_t(pot_grad_builder_t: Callable, n_data: int, *,
         raw_pot_grad_t = pot_grad_builder_t(*[r[:] for r in data_refs])
 
         if internal_prng:
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 7919)
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * BLOCK_SEED_STRIDE)
             v1 = _uniform_from_bits(pltpu.prng_random_bits((dim, blk)))
             v2 = _uniform_from_bits(pltpu.prng_random_bits((dim, blk)))
             z = jnp.sqrt(-2.0 * jnp.log(v1)) * jnp.cos(2.0 * jnp.pi * v2)
@@ -561,6 +563,7 @@ def sample_fused_small(
     block_chains: int = 1024,
     collect_positions: bool = True,
     internal_prng: bool = True,
+    _interpret: bool = False,
 ):
     """Sampling loop over the transposed small-dim transition.
 
@@ -572,13 +575,23 @@ def sample_fused_small(
     """
     num_chains, dim = initial_positions.shape
     lmax = 2**max_num_expansions
-    mass_sqrt = jnp.sqrt(1.0 / inverse_mass)
+    inverse_mass = jnp.asarray(inverse_mass, jnp.float32)
+    if inverse_mass.ndim == 2:
+        # momentum ~ N(0, M): p = L^{-T} z with L = chol(M^{-1})
+        # (ref metrics.py:52-59) — NOT an elementwise reciprocal sqrt
+        chol = jnp.linalg.cholesky(inverse_mass)
+        mass_sqrt = jax.scipy.linalg.solve_triangular(
+            chol, jnp.eye(dim, dtype=jnp.float32), lower=True, trans=1
+        )
+    else:
+        mass_sqrt = jnp.sqrt(1.0 / inverse_mass)
 
     transition = make_fused_nuts_transition_small(
         potential_fn_t, data,
         max_num_expansions=max_num_expansions,
         divergence_threshold=divergence_threshold,
         block_chains=block_chains,
+        interpret=_interpret,
     )
 
     rows = [jnp.asarray(d, jnp.float32) for d in data]
@@ -602,10 +615,7 @@ def sample_fused_small(
             out = qn if collect_positions else None
             return (qn, un, gn), (out, stats)
 
-        seeds = jax.random.randint(
-            rng_key, (num_samples,), 0, jnp.iinfo(jnp.int32).max,
-            dtype=jnp.int32,
-        )
+        seeds = _derive_seeds(rng_key, num_samples)
         (qf, _, _), (positions, stats) = jax.lax.scan(
             one_seeded, (initial_positions.astype(jnp.float32), u0, g0),
             seeds,

@@ -182,3 +182,41 @@ def test_small_kernel_dense_metric_matches_oracle(eps):
     # dense-metric matmuls run f32 in-kernel vs f64 in the oracle; allow
     # at most one round-off-marginal chain to disagree per case
     assert agree >= chains - 1, (eps, agree)
+
+
+def test_small_kernel_dense_metric_external_prng_moments():
+    """Dense metric + EXTERNAL randomness: the momentum must be drawn
+    from N(0, M) via L^{-T} z with L = chol(M^{-1}) (ref
+    metrics.py:52-67), not an elementwise reciprocal sqrt.  A correlated
+    MVN with its covariance as the dense inverse mass mixes like an iid
+    sampler; wrong-momentum draws bias the posterior covariance."""
+    from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
+
+    dim, chains, draws, rho = 4, 64, 200, 0.8
+    cov = np.full((dim, dim), rho, np.float32)
+    np.fill_diagonal(cov, 1.0)
+    prec = np.linalg.inv(cov.astype(np.float64)).astype(np.float32)
+
+    def potential_t(q_t, prec_mat):
+        return 0.5 * jnp.sum(q_t * (prec_mat @ q_t), axis=0)
+
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(2), (chains, dim), jnp.float32
+    )
+    sampler = jax.jit(
+        lambda k: sample_fused_small(
+            k, potential_t, [jnp.asarray(prec)], q0, draws,
+            jnp.asarray(0.9, jnp.float32), jnp.asarray(cov),
+            max_num_expansions=4, block_chains=chains,
+            internal_prng=False, _interpret=True,
+        )
+    )
+    _, positions, stats = sampler(jax.random.PRNGKey(3))
+    stats = np.asarray(stats)
+    assert stats[:, :, 1].mean() > 0.5
+    assert stats[:, :, 4].sum() == 0
+    flat = np.asarray(positions)[50:].reshape(-1, dim)
+    assert np.all(np.abs(flat.mean(axis=0)) < 0.15)
+    np.testing.assert_allclose(flat.var(axis=0), 1.0, rtol=0.2)
+    corr = np.corrcoef(flat[:, 0], flat[:, 1])[0, 1]
+    assert abs(corr - rho) < 0.1
