@@ -5,16 +5,19 @@ warmup + sampling run that never leaves the kernel path.
 The window-adaptation state machine (:mod:`aehmc_tpu.window_adaptation`)
 is kernel-agnostic: its pooled hooks need only per-step positions and a
 pooled acceptance statistic, both of which the megakernel already
-returns (stats column 1).  Step size and the diagonal inverse mass
-matrix are *runtime inputs* of the kernel (SMEM scalar / VMEM vector),
-so adaptation changes them every step without recompiling.
+returns (stats column 1).  Step size and the inverse mass matrix
+(diagonal — or DENSE through the transposed kernel) are *runtime inputs*
+of the kernel (SMEM scalar / VMEM array), so adaptation changes them
+every step without recompiling.
 
 ``warmup_fused`` works with either kernel layout (standard
 chains-in-lanes-of-dim, or the small-dim transposed kernel) — pass the
 ``transition`` built by :func:`make_fused_nuts_transition` or
 :func:`make_fused_nuts_transition_small`.  ``sample_fused_adaptive`` is
 the one-call driver: warmup + sampling through the kernel, returning the
-tuned parameters alongside draws and stats.
+tuned parameters alongside draws and stats.  Pass ``mesh=`` to run the
+kernel under ``shard_map`` with chains split across devices (see
+:func:`shard_fused_transition`).
 """
 
 from typing import Callable, Sequence, Tuple
@@ -24,12 +27,130 @@ import jax.numpy as jnp
 
 from aehmc_tpu.algorithms import pairwise_mean, welford_update_batch
 from aehmc_tpu.ops.nuts_fused import (
+    BLOCK_SEED_STRIDE,
     _as_row,
+    derive_draw_seeds,
     make_fused_nuts_transition,
 )
 from aehmc_tpu.ops.nuts_fused_small import make_fused_nuts_transition_small
 from aehmc_tpu.types import ChainState
 from aehmc_tpu.window_adaptation import window_adaptation
+
+
+def _mass_sqrt(inverse_mass: jax.Array) -> jax.Array:
+    """sqrt(M) such that p = z·sqrt(M)^T ~ N(0, M) for std-normal z.
+
+    Dense case: L^{-T} with L = chol(M^{-1}) (ref metrics.py:52-59) —
+    NOT an elementwise reciprocal sqrt.
+    """
+    if inverse_mass.ndim == 2:
+        dim = inverse_mass.shape[0]
+        chol = jnp.linalg.cholesky(inverse_mass)
+        return jax.scipy.linalg.solve_triangular(
+            chol, jnp.eye(dim, dtype=inverse_mass.dtype),
+            lower=True, trans=1,
+        )
+    return jnp.sqrt(1.0 / inverse_mass)
+
+
+def _draw_momentum(key, inverse_mass, num_chains, dim):
+    z = jax.random.normal(key, (num_chains, dim), jnp.float32)
+    ms = _mass_sqrt(inverse_mass.astype(jnp.float32))
+    return z @ ms.T if ms.ndim == 2 else ms * z
+
+
+def _external_randomness(key, inverse_mass, num_chains, dim, max_exp):
+    """jax.random replacement for the in-kernel PRNG (interpret mode)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    p = _draw_momentum(k1, inverse_mass, num_chains, dim)
+    dirs = jnp.where(
+        jax.random.uniform(k2, (num_chains, max_exp)) < 0.5, -1.0, 1.0
+    )
+    ub = jax.random.uniform(k3, (num_chains, max_exp))
+    ul = jax.random.uniform(k4, (num_chains, 2**max_exp))
+    return p, dirs, ub, ul
+
+
+def shard_fused_transition(
+    transition: Callable,
+    mesh,
+    num_chains: int,
+    block_chains: int,
+) -> Callable:
+    """Wrap a megakernel transition in ``shard_map`` over the chain axis.
+
+    Each device runs the local ``pallas_call`` on its shard of chains;
+    nothing else changes — pooled-adaptation reductions stay OUTSIDE the
+    wrapper at jit level, where GSPMD lowers the fixed-tree pairwise
+    reductions to ICI collectives exactly as on the XLA path
+    (parallel/pooled.py).
+
+    The in-kernel PRNG streams are indexed by GLOBAL block:
+    ``seed + b_global * BLOCK_SEED_STRIDE`` with ``b_global = device *
+    blocks_per_device + b_local`` — each device offsets its seed by its
+    linearized mesh index, reproducing the single-device stream layout
+    bit-for-bit.  Results are therefore bitwise mesh-shape-invariant
+    (and equal to the unsharded run) as long as ``block_chains`` divides
+    the per-device chain count for every mesh shape compared.
+
+    ``transition`` is the callable from ``make_fused_nuts_transition`` /
+    ``make_fused_nuts_transition_small``; the wrapped callable has the
+    same signature.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_devices = mesh.devices.size
+    if num_chains % n_devices:
+        raise ValueError(
+            f"{num_chains} chains do not shard over {n_devices} devices"
+        )
+    local_chains = num_chains // n_devices
+    if local_chains % min(block_chains, local_chains):
+        raise ValueError(
+            f"block_chains={block_chains} does not tile the per-device "
+            f"chain count {local_chains}"
+        )
+    blocks_per_device = local_chains // min(block_chains, local_chains)
+
+    chain_spec = P(mesh.axis_names)
+    rep = P()
+
+    def _device_index():
+        idx = jnp.asarray(0, jnp.int32)
+        for ax in mesh.axis_names:
+            idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+        return idx
+
+    def sharded(q, u, g, p, dirs, ub, ul, imm, eps, seed=None):
+        internal = seed is not None
+        rand_spec = rep if internal else chain_spec
+
+        def local(q, u, g, p, dirs, ub, ul, imm, eps, seed):
+            if internal:
+                seed = (
+                    jnp.asarray(seed, jnp.int32)
+                    + _device_index()
+                    * (blocks_per_device * BLOCK_SEED_STRIDE)
+                )
+            return transition(
+                q, u, g, p, dirs, ub, ul, imm, eps,
+                seed=seed if internal else None,
+            )
+
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                chain_spec, chain_spec, chain_spec,
+                rand_spec, rand_spec, rand_spec, rand_spec,
+                rep, rep, rep,
+            ),
+            out_specs=(chain_spec, chain_spec, chain_spec, chain_spec),
+            check_rep=False,
+        )(q, u, g, p, dirs, ub, ul, imm, eps, seed)
+
+    return sharded
 
 
 def warmup_fused(
@@ -41,6 +162,7 @@ def warmup_fused(
     num_steps: int = 400,
     *,
     max_num_expansions: int,
+    is_mass_matrix_full: bool = False,
     initial_step_size: float = 0.1,
     target_acceptance_rate: float = 0.8,
     use_internal_prng: bool = True,
@@ -51,22 +173,25 @@ def warmup_fused(
     megakernel transition; ``u0`` is (chains, 1).  Pooled statistics (the
     fixed-tree pairwise mean of the kernel's per-chain acceptance, and
     the Chan batched Welford fold of the positions) drive the exact
-    single-chain Stan state machine.  Returns ``((q, u, g), step_size,
-    inverse_mass_matrix)`` with the tuned diagonal mass matrix.
+    single-chain Stan state machine.  ``is_mass_matrix_full`` adapts a
+    DENSE inverse mass matrix (Welford covariance + Stan shrinkage, ref
+    mass_matrix.py:81-118) — supported by the transposed small-dim
+    kernel, whose dense metric path takes M^{-1} as a runtime (dim, dim)
+    VMEM input.  Returns ``((q, u, g), step_size,
+    inverse_mass_matrix)``.
 
     ``use_internal_prng=False`` draws the momentum/uniform streams with
     ``jax.random`` instead (required in interpret mode, where the
     on-chip PRNG is unavailable).
     """
     num_chains, dim = initial_positions.shape
-    lmax = 2**max_num_expansions
 
     init_adapt, update_adapt = window_adaptation(
         num_steps,
-        False,
+        is_mass_matrix_full,
         initial_step_size,
         target_acceptance_rate,
-        welford_update_fn=welford_update_batch(False),
+        welford_update_fn=welford_update_batch(is_mass_matrix_full),
         acceptance_statistic=lambda stats: pairwise_mean(stats[:, 1]),
         num_dims_fn=lambda positions: positions.shape[1],
     )
@@ -80,30 +205,17 @@ def warmup_fused(
 
     def one_step(carry, inputs):
         (q, u, g), ast = carry
-        step, key = inputs
+        step, key, seed = inputs
         if use_internal_prng:
-            seed = jax.random.randint(
-                key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
-            )
             qn, un, gn, stats = transition(
                 q, u, g, None, None, None, None,
                 ast.inverse_mass_matrix, ast.step_size, seed=seed,
             )
         else:
-            k1, k2, k3, k4 = jax.random.split(key, 4)
-            mass_sqrt = jnp.sqrt(1.0 / ast.inverse_mass_matrix)
-            p = mass_sqrt * jax.random.normal(
-                k1, (num_chains, dim), jnp.float32
+            p, dirs, ub, ul = _external_randomness(
+                key, ast.inverse_mass_matrix, num_chains, dim,
+                max_num_expansions,
             )
-            dirs = jnp.where(
-                jax.random.uniform(
-                    k2, (num_chains, max_num_expansions)
-                ) < 0.5,
-                -1.0,
-                1.0,
-            )
-            ub = jax.random.uniform(k3, (num_chains, max_num_expansions))
-            ul = jax.random.uniform(k4, (num_chains, lmax))
             qn, un, gn, stats = transition(
                 q, u, g, p, dirs, ub, ul,
                 ast.inverse_mass_matrix, ast.step_size,
@@ -111,11 +223,13 @@ def warmup_fused(
         new_ast = update_adapt(step, ast, qn, stats)
         return ((qn, un, gn), new_ast), stats[:, 1]
 
-    keys = jax.random.split(rng_key, num_steps)
+    key_seed, key_scan = jax.random.split(rng_key)
+    keys = jax.random.split(key_scan, num_steps)
+    seeds = derive_draw_seeds(key_seed, num_steps)
     steps = jnp.arange(num_steps, dtype=jnp.int32)
     ((q, u, g), adaptation_state), _ = jax.lax.scan(
         one_step, ((initial_positions, u0, g0), adaptation_state),
-        (steps, keys),
+        (steps, keys, seeds),
     )
     return (
         (q, u, g),
@@ -136,11 +250,13 @@ def sample_fused_adaptive(
     max_num_expansions: int = 6,
     divergence_threshold: float = 1000.0,
     block_chains: int = None,
+    is_mass_matrix_full: bool = False,
     initial_step_size: float = 0.1,
     target_acceptance_rate: float = 0.8,
     collect_positions: bool = True,
     use_internal_prng: bool = True,
     interpret: bool = False,
+    mesh=None,
 ):
     """One-call megakernel driver: fused warmup + fused sampling.
 
@@ -149,15 +265,30 @@ def sample_fused_adaptive(
     TRANSPOSED contract, see
     :func:`aehmc_tpu.ops.nuts_fused_small.make_fused_nuts_transition_small`)
     to run through the chains-in-lanes small-dim kernel instead — the
-    right choice below ~64 dims (PERF.md).
+    right choice below ~64 dims (PERF.md).  ``is_mass_matrix_full``
+    self-tunes a DENSE inverse mass matrix end-to-end in-kernel
+    (transposed kernel only).  Pass ``mesh`` (a ``jax.sharding.Mesh``)
+    to shard the chain axis across devices: the kernel runs per-device
+    under ``shard_map`` while the pooled-adaptation reductions cross
+    devices as ICI collectives (:func:`shard_fused_transition`).
 
     Returns ``(final_positions, positions, stats_history, step_size,
     inverse_mass_matrix)``.
     """
     num_chains, dim = initial_positions.shape
     small = potential_fn_t is not None
+    if is_mass_matrix_full and not small:
+        raise ValueError(
+            "dense-metric self-tuning requires the transposed kernel — "
+            "pass potential_fn_t (the standard-layout megakernel has no "
+            "dense metric path)"
+        )
     if block_chains is None:
         block_chains = 1024 if small else 256
+    if mesh is not None:
+        block_chains = min(
+            block_chains, num_chains // mesh.devices.size
+        )
 
     if small:
         transition = make_fused_nuts_transition_small(
@@ -192,49 +323,50 @@ def sample_fused_adaptive(
         (g0,) = pull(jnp.ones_like(u0))
         u0 = u0.reshape(num_chains, 1)
 
+    if mesh is not None:
+        from aehmc_tpu.parallel.mesh import chain_sharding
+
+        transition = shard_fused_transition(
+            transition, mesh, num_chains, block_chains
+        )
+        sharding = chain_sharding(mesh)
+        initial_positions = jax.device_put(initial_positions, sharding)
+        u0 = jax.device_put(u0, sharding)
+        g0 = jax.device_put(g0, sharding)
+
     warmup_key, sample_key = jax.random.split(rng_key)
     (q, u, g), eps, imm = warmup_fused(
         warmup_key, transition,
         initial_positions.astype(jnp.float32), u0, g0,
         num_warmup,
         max_num_expansions=max_num_expansions,
+        is_mass_matrix_full=is_mass_matrix_full,
         initial_step_size=initial_step_size,
         target_acceptance_rate=target_acceptance_rate,
         use_internal_prng=use_internal_prng,
     )
 
-    lmax = 2**max_num_expansions
-
-    def one(carry, key):
+    def one(carry, inputs):
         q, u, g = carry
+        key, seed = inputs
         if use_internal_prng:
-            seed = jax.random.randint(
-                key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
-            )
             qn, un, gn, stats = transition(
                 q, u, g, None, None, None, None, imm, eps, seed=seed
             )
         else:
-            k1, k2, k3, k4 = jax.random.split(key, 4)
-            mass_sqrt = jnp.sqrt(1.0 / imm)
-            p = mass_sqrt * jax.random.normal(
-                k1, (num_chains, dim), jnp.float32
+            p, dirs, ub, ul = _external_randomness(
+                key, imm, num_chains, dim, max_num_expansions
             )
-            dirs = jnp.where(
-                jax.random.uniform(
-                    k2, (num_chains, max_num_expansions)
-                ) < 0.5,
-                -1.0,
-                1.0,
-            )
-            ub = jax.random.uniform(k3, (num_chains, max_num_expansions))
-            ul = jax.random.uniform(k4, (num_chains, lmax))
             qn, un, gn, stats = transition(
                 q, u, g, p, dirs, ub, ul, imm, eps
             )
         out = qn if collect_positions else None
         return (qn, un, gn), (out, stats)
 
-    keys = jax.random.split(sample_key, num_samples)
-    (qf, _, _), (positions, stats) = jax.lax.scan(one, (q, u, g), keys)
+    key_seed, key_scan = jax.random.split(sample_key)
+    keys = jax.random.split(key_scan, num_samples)
+    seeds = derive_draw_seeds(key_seed, num_samples)
+    (qf, _, _), (positions, stats) = jax.lax.scan(
+        one, (q, u, g), (keys, seeds)
+    )
     return qf, positions, stats, eps, imm
