@@ -277,10 +277,10 @@ class CheesWarmupResult(NamedTuple):
     inverse_mass_matrix: jax.Array
 
 
-def warmup(
-    rng_key: jax.Array,
+def warmup_hooks(
     logprob_fn: Callable,
-    initial_states: ChainState,
+    num_chains: int,
+    dim: int,
     num_steps: int = 400,
     *,
     initial_step_size: float = 0.1,
@@ -292,15 +292,16 @@ def warmup(
     integrate_fn: Callable = None,
     divergence_threshold: float = 1000.0,
     search_initial_step_size: bool = True,
-) -> CheesWarmupResult:
-    """Jointly adapt (step size, trajectory length, diag mass matrix).
+    dtype=None,
+) -> Tuple[Callable, Callable, Callable]:
+    """Segmentable ChEES warmup: ``(init, segment, finish)``.
 
-    One jitted scan: dual averaging on ``log eps`` (pooled mean acceptance),
-    Adam ascent on ``log h`` with the ChEES gradient, pooled Welford windows
-    for the diagonal inverse mass matrix (Stan schedule).
-    ``search_initial_step_size`` seeds both ``eps`` and the default
-    trajectory length from a Stan-style doubling/halving search on the
-    pooled single-leapfrog acceptance.
+    Same contract as
+    :func:`aehmc_tpu.parallel.pooled.pooled_warmup_hooks`: the carry is a
+    pure pytree with the PRNG key threaded through it, so scanning the
+    step range in slices reproduces the single-scan run bit for bit
+    (warmup checkpointing rides on this).  ``finish`` returns a
+    :class:`CheesWarmupResult`.
     """
     kernel = new_kernel(
         logprob_fn, divergence_threshold, integrator, integrate_fn
@@ -313,8 +314,8 @@ def warmup(
     schedule_stage = jnp.asarray([s[0] for s in schedule], dtype=jnp.int32)
     schedule_middle_window = jnp.asarray([s[1] for s in schedule], dtype=bool)
 
-    num_chains, dim = initial_states.position.shape
-    dtype = initial_states.position.dtype
+    if dtype is None:
+        dtype = jnp.float32
 
     def _new_da_state(step_size):
         log_eps = jnp.log(step_size)
@@ -322,26 +323,42 @@ def warmup(
             iterates=log_eps, iterates_avg=log_eps
         )
 
-    init_eps = jnp.asarray(initial_step_size, dtype)
-    imm0, wc0 = mm_init(dim, dtype=dtype)
+    def init(rng_key, initial_states):
+        init_eps = jnp.asarray(initial_step_size, dtype)
+        imm0, wc0 = mm_init(dim, dtype=dtype)
 
-    if search_initial_step_size:
-        from aehmc_tpu.step_size import find_reasonable_step_size
+        if search_initial_step_size:
+            from aehmc_tpu.step_size import find_reasonable_step_size
 
-        rng_key, search_key = jax.random.split(rng_key)
-        one_leapfrog = jnp.asarray(1, jnp.int32)
-        init_eps = find_reasonable_step_size(
-            search_key,
-            lambda key, s, eps, imm: kernel(key, s, eps, one_leapfrog, imm),
-            initial_states,
-            imm0,
-            initial_step_size=init_eps,
-            target_accept=target_acceptance_rate,
-            reduce_fn=pairwise_mean,
+            rng_key, search_key = jax.random.split(rng_key)
+            one_leapfrog = jnp.asarray(1, jnp.int32)
+            init_eps = find_reasonable_step_size(
+                search_key,
+                lambda key, s, eps, imm: kernel(
+                    key, s, eps, one_leapfrog, imm
+                ),
+                initial_states,
+                imm0,
+                initial_step_size=init_eps,
+                target_accept=target_acceptance_rate,
+                reduce_fn=pairwise_mean,
+            )
+
+        h0 = (
+            10.0 * init_eps
+            if initial_trajectory_length is None
+            else jnp.asarray(initial_trajectory_length, dtype)
         )
-
-    if initial_trajectory_length is None:
-        initial_trajectory_length = 10.0 * init_eps
+        zero = jnp.zeros((), dtype)
+        return (
+            rng_key,
+            initial_states,
+            _new_da_state(init_eps),
+            AdamState(m=zero, v=zero, step=jnp.asarray(0, jnp.int32)),
+            jnp.log(h0),
+            wc0,
+            imm0,
+        )
 
     def one_step(carry, step):
         key, states, da_state, adam_state, log_h, wc_state, imm = carry
@@ -408,34 +425,66 @@ def warmup(
             new_imm,
         ), info.acceptance_probability
 
-    zero = jnp.zeros((), dtype)
-    init_carry = (
-        rng_key,
-        initial_states,
-        _new_da_state(init_eps),
-        AdamState(m=zero, v=zero, step=jnp.asarray(0, jnp.int32)),
-        jnp.log(jnp.asarray(initial_trajectory_length, dtype)),
-        wc0,
-        imm0,
-    )
-    (
-        _,
-        states,
-        da_state,
-        _,
-        log_h,
-        _,
-        imm,
-    ), _ = jax.lax.scan(
-        one_step, init_carry, jnp.arange(num_steps, dtype=jnp.int32)
-    )
+    def segment(wcarry, steps):
+        return jax.lax.scan(one_step, wcarry, steps)
 
-    return CheesWarmupResult(
-        states=states,
-        step_size=jnp.exp(da_state.iterates_avg),
-        trajectory_length=jnp.exp(log_h),
-        inverse_mass_matrix=imm,
+    def finish(wcarry):
+        _, states, da_state, _, log_h, _, imm = wcarry
+        return CheesWarmupResult(
+            states=states,
+            step_size=jnp.exp(da_state.iterates_avg),
+            trajectory_length=jnp.exp(log_h),
+            inverse_mass_matrix=imm,
+        )
+
+    return init, segment, finish
+
+
+def warmup(
+    rng_key: jax.Array,
+    logprob_fn: Callable,
+    initial_states: ChainState,
+    num_steps: int = 400,
+    *,
+    initial_step_size: float = 0.1,
+    initial_trajectory_length: Optional[float] = None,
+    target_acceptance_rate: float = OPTIMAL_TARGET_ACCEPTANCE,
+    max_num_integration_steps: int = 1024,
+    learning_rate: float = 0.025,
+    integrator: Callable = velocity_verlet,
+    integrate_fn: Callable = None,
+    divergence_threshold: float = 1000.0,
+    search_initial_step_size: bool = True,
+) -> CheesWarmupResult:
+    """Jointly adapt (step size, trajectory length, diag mass matrix).
+
+    One jitted scan: dual averaging on ``log eps`` (pooled mean acceptance),
+    Adam ascent on ``log h`` with the ChEES gradient, pooled Welford windows
+    for the diagonal inverse mass matrix (Stan schedule).
+    ``search_initial_step_size`` seeds both ``eps`` and the default
+    trajectory length from a Stan-style doubling/halving search on the
+    pooled single-leapfrog acceptance.
+    """
+    num_chains, dim = initial_states.position.shape
+    init, segment, finish = warmup_hooks(
+        logprob_fn,
+        num_chains,
+        dim,
+        num_steps,
+        initial_step_size=initial_step_size,
+        initial_trajectory_length=initial_trajectory_length,
+        target_acceptance_rate=target_acceptance_rate,
+        max_num_integration_steps=max_num_integration_steps,
+        learning_rate=learning_rate,
+        integrator=integrator,
+        integrate_fn=integrate_fn,
+        divergence_threshold=divergence_threshold,
+        search_initial_step_size=search_initial_step_size,
+        dtype=initial_states.position.dtype,
     )
+    wcarry = init(rng_key, initial_states)
+    wcarry, _ = segment(wcarry, jnp.arange(num_steps, dtype=jnp.int32))
+    return finish(wcarry)
 
 
 def sample(

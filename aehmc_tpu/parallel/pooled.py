@@ -57,6 +57,91 @@ def pooled_window_adaptation(
     )
 
 
+def pooled_warmup_hooks(
+    kernel: Callable,
+    num_chains: int,
+    num_steps: int = 400,
+    *,
+    is_mass_matrix_full: bool = False,
+    initial_step_size: float = 1.0,
+    target_acceptance_rate: float = 0.8,
+    progress_every: int = 0,
+    search_initial_step_size: bool = True,
+) -> Tuple[Callable, Callable, Callable]:
+    """Segmentable pooled warmup: ``(init, segment, finish)``.
+
+    ``init(key, states) -> wcarry`` builds the adaptation state (and runs
+    the initial step-size search); ``segment(wcarry, steps) -> (wcarry,
+    infos)`` scans the warmup body over a contiguous slice of absolute
+    step indices; ``finish(wcarry) -> (states, (eps, imm))``.  The carry
+    is a pure pytree (chain states, WindowAdaptationState, PRNG key), and
+    the per-step key stream is threaded THROUGH the carry, so segmenting
+    [0, N) into arbitrary slices reproduces the single-scan run bit for
+    bit — the property warmup checkpointing (``_checkpointed_run``) rides
+    on.
+    """
+    init_adapt, update_adapt = pooled_window_adaptation(
+        num_steps,
+        is_mass_matrix_full,
+        initial_step_size,
+        target_acceptance_rate,
+    )
+
+    def init(rng_key, initial_states):
+        adaptation_state = init_adapt(initial_states)
+        if search_initial_step_size:
+            from aehmc_tpu.step_size import find_reasonable_step_size
+
+            def batched_kernel(key, states, eps, imm):
+                keys = jax.random.split(key, num_chains)
+                return jax.vmap(lambda k, s: kernel(k, s, eps, imm))(
+                    keys, states
+                )
+
+            rng_key, search_key = jax.random.split(rng_key)
+            found = find_reasonable_step_size(
+                search_key,
+                batched_kernel,
+                initial_states,
+                adaptation_state.inverse_mass_matrix,
+                initial_step_size=adaptation_state.step_size,
+                reduce_fn=pairwise_mean,
+            )
+            adaptation_state = init_adapt(initial_states, found)
+        return (rng_key, initial_states, adaptation_state)
+
+    def one_step(carry, step):
+        key, states, adaptation_state = carry
+        key, subkey = jax.random.split(key)
+        kernel_keys = jax.random.split(subkey, num_chains)
+        new_states, infos = jax.vmap(
+            lambda k, s: kernel(
+                k, s, adaptation_state.step_size,
+                adaptation_state.inverse_mass_matrix,
+            )
+        )(kernel_keys, states)
+        new_adaptation_state = update_adapt(
+            step, adaptation_state, new_states.position, infos
+        )
+        if progress_every:
+            from aehmc_tpu.observability import progress_callback
+
+            progress_callback(step, infos, every=progress_every)
+        return (key, new_states, new_adaptation_state), infos
+
+    def segment(wcarry, steps):
+        return jax.lax.scan(one_step, wcarry, steps)
+
+    def finish(wcarry):
+        _, states, adaptation_state = wcarry
+        return states, (
+            adaptation_state.step_size,
+            adaptation_state.inverse_mass_matrix,
+        )
+
+    return init, segment, finish
+
+
 def pooled_warmup(
     rng_key: jax.Array,
     kernel: Callable,
@@ -78,62 +163,22 @@ def pooled_warmup(
     ``search_initial_step_size`` seeds dual averaging from a Stan-style
     doubling/halving search on the *pooled* mean acceptance across chains.
     """
-    init_adapt, update_adapt = pooled_window_adaptation(
+    init, segment, finish = pooled_warmup_hooks(
+        kernel,
+        initial_states.position.shape[0],
         num_steps,
-        is_mass_matrix_full,
-        initial_step_size,
-        target_acceptance_rate,
+        is_mass_matrix_full=is_mass_matrix_full,
+        initial_step_size=initial_step_size,
+        target_acceptance_rate=target_acceptance_rate,
+        progress_every=progress_every,
+        search_initial_step_size=search_initial_step_size,
     )
-    adaptation_state = init_adapt(initial_states)
-    num_chains = initial_states.position.shape[0]
-
-    if search_initial_step_size:
-        from aehmc_tpu.step_size import find_reasonable_step_size
-
-        def batched_kernel(key, states, eps, imm):
-            keys = jax.random.split(key, num_chains)
-            return jax.vmap(lambda k, s: kernel(k, s, eps, imm))(keys, states)
-
-        rng_key, search_key = jax.random.split(rng_key)
-        found = find_reasonable_step_size(
-            search_key,
-            batched_kernel,
-            initial_states,
-            adaptation_state.inverse_mass_matrix,
-            initial_step_size=adaptation_state.step_size,
-            reduce_fn=pairwise_mean,
-        )
-        adaptation_state = init_adapt(initial_states, found)
-
-    def one_step(carry, step):
-        key, states, adaptation_state = carry
-        key, subkey = jax.random.split(key)
-        kernel_keys = jax.random.split(subkey, num_chains)
-        new_states, infos = jax.vmap(
-            lambda k, s: kernel(
-                k, s, adaptation_state.step_size,
-                adaptation_state.inverse_mass_matrix,
-            )
-        )(kernel_keys, states)
-        new_adaptation_state = update_adapt(
-            step, adaptation_state, new_states.position, infos
-        )
-        if progress_every:
-            from aehmc_tpu.observability import progress_callback
-
-            progress_callback(step, infos, every=progress_every)
-        return (key, new_states, new_adaptation_state), infos
-
-    (_, states, adaptation_state), info_history = jax.lax.scan(
-        one_step,
-        (rng_key, initial_states, adaptation_state),
-        jnp.arange(num_steps, dtype=jnp.int32),
+    wcarry = init(rng_key, initial_states)
+    wcarry, info_history = segment(
+        wcarry, jnp.arange(num_steps, dtype=jnp.int32)
     )
-    return (
-        states,
-        (adaptation_state.step_size, adaptation_state.inverse_mass_matrix),
-        info_history,
-    )
+    states, (eps, imm) = finish(wcarry)
+    return states, (eps, imm), info_history
 
 
 def sample_sharded(
@@ -501,6 +546,18 @@ def _checkpointed_run(
 
     from aehmc_tpu import checkpoint as ckpt
 
+    if not checkpoint_path.endswith(".npz"):
+        # A directory path would route to Orbax's StandardCheckpointer,
+        # which validates restore shapes against the example pytree — and
+        # the resume example below can't know the saved `outs` length
+        # before restoring.  The .npz backend is shape-agnostic (it
+        # restores whatever was saved), so driver-level checkpointing
+        # requires it; Orbax remains available for user-level state
+        # snapshots via aehmc_tpu.checkpoint.
+        raise ValueError(
+            "driver-level checkpointing requires an .npz checkpoint_path "
+            f"(got {checkpoint_path!r})"
+        )
     segment_fn = jax.jit(sample_segment)
     n_segments = -(-num_samples // checkpoint_every)
 
