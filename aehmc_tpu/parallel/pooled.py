@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from aehmc_tpu import hmc
 from aehmc_tpu.algorithms import pairwise_mean, welford_update_batch
-from aehmc_tpu.parallel.mesh import chain_sharding, make_mesh
+from aehmc_tpu.parallel.mesh import chain_sharding, make_mesh, replicated
 from aehmc_tpu.sampling import SampleResult
 from aehmc_tpu.types import ChainState, Diagnostics
 from aehmc_tpu.window_adaptation import window_adaptation
@@ -202,6 +202,7 @@ def sample_sharded(
     checkpoint_path: Optional[str] = None,
     resume: bool = False,
     _crash_after_segments: Optional[int] = None,
+    _crash_after_warmup_segments: Optional[int] = None,
 ) -> SampleResult:
     """Pooled warmup + sampling for a chain batch sharded over a mesh.
 
@@ -224,9 +225,13 @@ def sample_sharded(
     SAME arguments continues from the last snapshot and returns a result
     bitwise identical to the uninterrupted run (same mesh): sampling runs in
     fixed segments whose per-step keys are derived once from the post-warmup
-    key, so segment boundaries don't perturb the draw stream.  Warmup itself
-    is not checkpointed — a run killed during warmup restarts it.
-    ``_crash_after_segments`` is a test hook that aborts after N segments.
+    key, so segment boundaries don't perturb the draw stream.  WARMUP is
+    checkpointed too (to ``<path>_warmup.npz``): the warmup scan runs in
+    ``checkpoint_every``-step segments whose carry threads the PRNG key, so
+    a run killed mid-warmup resumes from the last warmup snapshot and still
+    reproduces the uninterrupted (checkpointed) run bit for bit.
+    ``_crash_after_segments`` / ``_crash_after_warmup_segments`` are test
+    hooks that abort after N segments of the respective phase.
     """
     if checkpoint_every and checkpoint_path is None:
         raise ValueError("checkpoint_every requires checkpoint_path")
@@ -271,20 +276,47 @@ def sample_sharded(
             logprob_fn, divergence_threshold=divergence_threshold
         )
 
+        def meads_burn_step(states, k):
+            new_states, _, _ = meads_kernel(k, states)
+            return new_states, None
+
         def meads_warmup_program(key, positions):
             init_key, warm_key, sample_key = jax.random.split(key, 3)
             states = meads.init_states(init_key, positions, logprob_fn)
 
-            def burn_step(states, k):
-                new_states, _, _ = meads_kernel(k, states)
-                return new_states, None
-
             if num_warmup > 0:
                 states, _ = jax.lax.scan(
-                    burn_step, states,
+                    meads_burn_step, states,
                     jax.random.split(warm_key, num_warmup),
                 )
             return states, (), sample_key
+
+        # Segmentable warmup: the carry holds the pre-split burn-in key
+        # array, so slicing the step range replays the exact key stream
+        # of the single-scan path.
+        def meads_wh_init(key, positions):
+            init_key, warm_key, sample_key = jax.random.split(key, 3)
+            states = meads.init_states(init_key, positions, logprob_fn)
+            keys = jax.random.split(warm_key, max(num_warmup, 1))
+            return (states, keys), sample_key
+
+        def meads_wh_segment(wcarry, steps):
+            states, keys = wcarry
+            states, _ = jax.lax.scan(meads_burn_step, states, keys[steps])
+            return (states, keys)
+
+        def meads_wh_finish(wcarry):
+            states, _ = wcarry
+            return states, ()
+
+        def meads_wh_place(wcarry):
+            if mesh is None:
+                return wcarry
+            states, keys = wcarry
+            return (
+                jax.device_put(states, chain_sharding(mesh)),
+                jax.device_put(keys, replicated(mesh)),
+            )
 
         def meads_segment(states, keys, seg_start, extras):
             def draw_step(states, k):
@@ -312,6 +344,12 @@ def sample_sharded(
             meads_segment, meads_build_result, num_samples,
             checkpoint_every, checkpoint_path, resume, collect_positions,
             mesh, _crash_after_segments,
+            warmup_hooks=(
+                meads_wh_init, meads_wh_segment, meads_wh_finish,
+                meads_wh_place,
+            ),
+            num_warmup=num_warmup,
+            _crash_after_warmup_segments=_crash_after_warmup_segments,
         )
     if algorithm == "chees":
         from aehmc_tpu import chees
@@ -402,11 +440,63 @@ def sample_sharded(
 
             return jax.jit(chees_program)(rng_key, initial_positions)
 
+        ch_init, ch_segment, ch_finish = chees.warmup_hooks(
+            logprob_fn,
+            initial_positions.shape[0],
+            initial_positions.shape[1],
+            max(num_warmup, 1),
+            initial_step_size=initial_step_size,
+            divergence_threshold=divergence_threshold,
+            search_initial_step_size=search_initial_step_size,
+            dtype=initial_positions.dtype,
+        )
+
+        def chees_wh_init(key, positions):
+            states = jax.vmap(lambda q: hmc.new_state(q, logprob_fn))(
+                positions
+            )
+            warmup_key, sample_key = jax.random.split(key)
+            return ch_init(warmup_key, states), sample_key
+
+        def chees_wh_segment(wcarry, steps):
+            wcarry, _ = ch_segment(wcarry, steps)
+            return wcarry
+
+        def chees_wh_finish(wcarry):
+            result = ch_finish(wcarry)
+            extras = (
+                result.step_size,
+                result.trajectory_length,
+                result.inverse_mass_matrix,
+            )
+            return result.states, extras
+
+        def chees_wh_place(wcarry):
+            if mesh is None:
+                return wcarry
+            key, states, da, adam, log_h, wc, imm = wcarry
+            rep = replicated(mesh)
+            return (
+                jax.device_put(key, rep),
+                jax.device_put(states, chain_sharding(mesh)),
+                jax.device_put(da, rep),
+                jax.device_put(adam, rep),
+                jax.device_put(log_h, rep),
+                jax.device_put(wc, rep),
+                jax.device_put(imm, rep),
+            )
+
         return _checkpointed_run(
             rng_key, initial_positions, chees_warmup_program,
             chees_segment, chees_build_result, num_samples,
             checkpoint_every, checkpoint_path, resume, collect_positions,
             mesh, _crash_after_segments,
+            warmup_hooks=(
+                chees_wh_init, chees_wh_segment, chees_wh_finish,
+                chees_wh_place,
+            ),
+            num_warmup=max(num_warmup, 1),
+            _crash_after_warmup_segments=_crash_after_warmup_segments,
         )
 
     if algorithm == "mala" and is_mass_matrix_full:
@@ -497,6 +587,42 @@ def sample_sharded(
 
         return jax.jit(program)(rng_key, initial_positions)
 
+    warmup_hooks = None
+    if num_warmup > 0:
+        w_init, w_segment, w_finish = pooled_warmup_hooks(
+            kernel,
+            num_chains,
+            num_warmup,
+            is_mass_matrix_full=is_mass_matrix_full,
+            initial_step_size=initial_step_size,
+            target_acceptance_rate=target_acceptance_rate,
+            search_initial_step_size=search_initial_step_size,
+        )
+
+        def wh_init(key, positions):
+            init_key, warmup_key, sample_key = jax.random.split(key, 3)
+            init_keys = jax.random.split(init_key, num_chains)
+            states = jax.vmap(
+                lambda k, q: new_sampler_state(algorithm, k, q, logprob_fn)
+            )(init_keys, positions)
+            return w_init(warmup_key, states), sample_key
+
+        def wh_segment(wcarry, steps):
+            wcarry, _ = w_segment(wcarry, steps)
+            return wcarry
+
+        def wh_place(wcarry):
+            if mesh is None:
+                return wcarry
+            key, states, ast = wcarry
+            return (
+                jax.device_put(key, replicated(mesh)),
+                jax.device_put(states, chain_sharding(mesh)),
+                jax.device_put(ast, replicated(mesh)),
+            )
+
+        warmup_hooks = (wh_init, wh_segment, w_finish, wh_place)
+
     return _checkpointed_run(
         rng_key,
         initial_positions,
@@ -510,6 +636,9 @@ def sample_sharded(
         collect_positions,
         mesh,
         _crash_after_segments,
+        warmup_hooks=warmup_hooks,
+        num_warmup=num_warmup,
+        _crash_after_warmup_segments=_crash_after_warmup_segments,
     )
 
 
@@ -526,6 +655,9 @@ def _checkpointed_run(
     collect_positions,
     mesh,
     _crash_after_segments,
+    warmup_hooks=None,
+    num_warmup=0,
+    _crash_after_warmup_segments=None,
 ):
     """Segmented sampling loop with periodic snapshots (SURVEY.md §5).
 
@@ -539,6 +671,18 @@ def _checkpointed_run(
     post-warmup key, so a resumed run replays the exact key stream of the
     uninterrupted one; per-segment computations are the same compiled
     program on the same inputs, hence bitwise-identical results.
+
+    **Warmup checkpointing**: pass ``warmup_hooks = (init, segment,
+    finish, place)`` with ``init(key, positions) -> (wcarry,
+    sample_key)``, ``segment(wcarry, steps) -> wcarry`` over absolute
+    step indices, ``finish(wcarry) -> (carry, extras)``, and
+    ``place(wcarry) -> wcarry`` pinning the carry's device placement
+    (chain-sharded states, replicated adaptation state).  Warmup then also runs in
+    ``checkpoint_every``-step segments, snapshotting the warmup carry to
+    ``<checkpoint_path minus .npz>_warmup.npz`` — a run killed mid-warmup
+    resumes from the last warmup snapshot instead of restarting.  The
+    hooks thread the PRNG key through the carry, so the segmented warmup
+    is bitwise identical to the single-scan one.
     """
     import os
 
@@ -560,6 +704,7 @@ def _checkpointed_run(
         )
     segment_fn = jax.jit(sample_segment)
     n_segments = -(-num_samples // checkpoint_every)
+    warmup_path = checkpoint_path[: -len(".npz")] + "_warmup.npz"
 
     done_segments = 0
     out_chunks = []
@@ -595,6 +740,58 @@ def _checkpointed_run(
         out_chunks = [loaded["outs"]]
         if mesh is not None:
             carry = jax.device_put(carry, chain_sharding(mesh))
+    elif warmup_hooks is not None and num_warmup > 0:
+        wh_init, wh_segment, wh_finish, wh_place = warmup_hooks
+        wseg_fn = jax.jit(
+            lambda wcarry, steps: wh_segment(wcarry, steps)
+        )
+        done_wsteps = 0
+        if resume and os.path.exists(warmup_path):
+            wi_shapes = jax.eval_shape(
+                wh_init, rng_key, initial_positions
+            )
+            wcarry_ex, wkey_ex = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), wi_shapes
+            )
+            wexample = {
+                "wcarry": wcarry_ex,
+                "sample_key": wkey_ex,
+                "done_steps": jnp.zeros((), jnp.int32),
+            }
+            wloaded = ckpt.restore(warmup_path, wexample)
+            wcarry = wloaded["wcarry"]
+            sample_key = wloaded["sample_key"]
+            done_wsteps = int(wloaded["done_steps"])
+        else:
+            wcarry, sample_key = jax.jit(wh_init)(
+                rng_key, initial_positions
+            )
+        # Canonical placement after BOTH init and restore: segment
+        # compilations then see identical input shardings in the
+        # uninterrupted and the resumed process, which is what makes the
+        # two bitwise-identical (a restored, unplaced carry would compile
+        # a differently-partitioned — hence differently-rounded — step).
+        wcarry = wh_place(wcarry)
+        wsegs_run = 0
+        for lo in range(done_wsteps, num_warmup, checkpoint_every):
+            hi = min(lo + checkpoint_every, num_warmup)
+            wcarry = wseg_fn(wcarry, jnp.arange(lo, hi, dtype=jnp.int32))
+            ckpt.save(
+                warmup_path,
+                {
+                    "wcarry": wcarry,
+                    "sample_key": sample_key,
+                    "done_steps": jnp.asarray(hi, jnp.int32),
+                },
+            )
+            wsegs_run += 1
+            if (
+                _crash_after_warmup_segments is not None
+                and wsegs_run >= _crash_after_warmup_segments
+                and hi < num_warmup
+            ):
+                return None  # simulated kill mid-warmup (test hook)
+        carry, extras = jax.jit(wh_finish)(wcarry)
     else:
         carry, extras, sample_key = jax.jit(warmup_program)(
             rng_key, initial_positions

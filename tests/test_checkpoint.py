@@ -65,6 +65,59 @@ def test_resume_continues_bitwise(tmp_path):
     np.testing.assert_array_equal(full, resumed)
 
 
+@pytest.mark.parametrize("algorithm", ["nuts", "chees", "meads"])
+def test_sample_sharded_warmup_checkpoint_resume(tmp_path, algorithm):
+    """A run killed MID-WARMUP resumes from the last warmup snapshot
+    (no restart) and reproduces the uninterrupted checkpointed run bit
+    for bit — the warmup carry (chain states, adaptation state, PRNG
+    key) is a pure pytree segmented exactly like sampling."""
+    import os
+
+    from aehmc_tpu.parallel import sample_sharded
+
+    logprob_fn = std_normal()
+    key = jax.random.PRNGKey(9)
+    qs = jax.random.normal(jax.random.PRNGKey(10), (8, 2))
+    common = dict(
+        num_samples=20,
+        num_warmup=35,
+        algorithm=algorithm,
+        checkpoint_every=10,
+    )
+
+    full = sample_sharded(
+        key, logprob_fn, qs,
+        checkpoint_path=str(tmp_path / "full.npz"), **common,
+    )
+
+    path = str(tmp_path / "run.npz")
+    crashed = sample_sharded(
+        key, logprob_fn, qs,
+        checkpoint_path=path, _crash_after_warmup_segments=2, **common,
+    )
+    assert crashed is None  # killed during warmup
+    warmup_path = path[: -len(".npz")] + "_warmup.npz"
+    assert os.path.exists(warmup_path)
+    assert not os.path.exists(path)
+    resumed = sample_sharded(
+        key, logprob_fn, qs, checkpoint_path=path, resume=True, **common,
+    )
+
+    np.testing.assert_array_equal(
+        np.asarray(full.positions), np.asarray(resumed.positions)
+    )
+    assert float(full.step_size) == float(resumed.step_size)
+    np.testing.assert_array_equal(
+        np.asarray(full.inverse_mass_matrix),
+        np.asarray(resumed.inverse_mass_matrix),
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(full.final_state),
+        jax.tree_util.tree_leaves(resumed.final_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("algorithm", ["nuts", "ghmc", "chees", "meads"])
 def test_sample_sharded_checkpoint_resume(tmp_path, algorithm):
     """Driver-integrated checkpointing: a run killed mid-sampling and
