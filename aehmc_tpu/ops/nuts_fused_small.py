@@ -615,7 +615,7 @@ def sample_fused_small(
             out = qn if collect_positions else None
             return (qn, un, gn), (out, stats)
 
-        seeds = _derive_seeds(rng_key, num_samples)
+        seeds = derive_draw_seeds(rng_key, num_samples)
         (qf, _, _), (positions, stats) = jax.lax.scan(
             one_seeded, (initial_positions.astype(jnp.float32), u0, g0),
             seeds,

@@ -269,74 +269,91 @@ def sample_sharded(
 
             return jax.jit(meads_program)(rng_key, initial_positions)
 
-        # Checkpointed MEADS: adaptation is re-derived from the chain
-        # states by the kernel each step, so the segment carry is just
-        # the chain-state batch.
+        # Checkpointed MEADS: the segment carry is the MeadsCarry (chain
+        # states + hyperparameters in force + iteration counter).
         meads_kernel = meads.new_kernel(
             logprob_fn, divergence_threshold=divergence_threshold
         )
 
-        def meads_burn_step(states, k):
-            new_states, _, _ = meads_kernel(k, states)
-            return new_states, None
+        def meads_burn_step(carry, k):
+            new_carry, _ = meads_kernel(k, carry)
+            return new_carry, None
 
         def meads_warmup_program(key, positions):
             init_key, warm_key, sample_key = jax.random.split(key, 3)
-            states = meads.init_states(init_key, positions, logprob_fn)
+            carry = meads.init_carry(init_key, positions, logprob_fn)
 
             if num_warmup > 0:
-                states, _ = jax.lax.scan(
-                    meads_burn_step, states,
+                carry, _ = jax.lax.scan(
+                    meads_burn_step, carry,
                     jax.random.split(warm_key, num_warmup),
                 )
-            return states, (), sample_key
+            return carry, (), sample_key
 
         # Segmentable warmup: the carry holds the pre-split burn-in key
         # array, so slicing the step range replays the exact key stream
         # of the single-scan path.
         def meads_wh_init(key, positions):
             init_key, warm_key, sample_key = jax.random.split(key, 3)
-            states = meads.init_states(init_key, positions, logprob_fn)
+            carry = meads.init_carry(init_key, positions, logprob_fn)
             keys = jax.random.split(warm_key, max(num_warmup, 1))
-            return (states, keys), sample_key
+            return (carry, keys), sample_key
 
         def meads_wh_segment(wcarry, steps):
-            states, keys = wcarry
-            states, _ = jax.lax.scan(meads_burn_step, states, keys[steps])
-            return (states, keys)
+            carry, keys = wcarry
+            carry, _ = jax.lax.scan(meads_burn_step, carry, keys[steps])
+            return (carry, keys)
 
         def meads_wh_finish(wcarry):
-            states, _ = wcarry
-            return states, ()
+            carry, _ = wcarry
+            return carry, ()
 
         def meads_wh_place(wcarry):
             if mesh is None:
                 return wcarry
-            states, keys = wcarry
+            carry, keys = wcarry
+            rep = replicated(mesh)
             return (
-                jax.device_put(states, chain_sharding(mesh)),
-                jax.device_put(keys, replicated(mesh)),
+                meads.MeadsCarry(
+                    states=jax.device_put(
+                        carry.states, chain_sharding(mesh)
+                    ),
+                    hyper=jax.device_put(carry.hyper, rep),
+                    step=jax.device_put(carry.step, rep),
+                ),
+                jax.device_put(keys, rep),
             )
 
-        def meads_segment(states, keys, seg_start, extras):
-            def draw_step(states, k):
-                new_states, infos, hyper = meads_kernel(k, states)
-                out = new_states.position if collect_positions else None
-                return new_states, (out, infos, hyper)
+        def meads_segment(carry, keys, seg_start, extras):
+            def draw_step(carry, k):
+                new_carry, infos = meads_kernel(k, carry)
+                out = (
+                    new_carry.states.position
+                    if collect_positions
+                    else None
+                )
+                return new_carry, (out, infos)
 
-            return jax.lax.scan(draw_step, states, keys)
+            return jax.lax.scan(draw_step, carry, keys)
 
-        def meads_build_result(states, extras, outs):
-            positions_out, infos, hypers = outs
-            last_hyper = jax.tree_util.tree_map(lambda a: a[-1], hypers)
+        def meads_build_result(carry, extras, outs):
+            positions_out, infos = outs
             return SampleResult(
-                final_state=states,
+                final_state=carry.states,
                 positions=positions_out if collect_positions else None,
                 diagnostics=infos,
-                step_size=jnp.mean(jnp.asarray(last_hyper.step_size)),
+                step_size=jnp.mean(jnp.asarray(carry.hyper.step_size)),
                 inverse_mass_matrix=jnp.mean(
-                    jnp.asarray(last_hyper.inverse_mass_matrix), axis=0
+                    jnp.asarray(carry.hyper.inverse_mass_matrix), axis=0
                 ),
+            )
+
+        def meads_place_carry(carry):
+            rep = replicated(mesh)
+            return meads.MeadsCarry(
+                states=jax.device_put(carry.states, chain_sharding(mesh)),
+                hyper=jax.device_put(carry.hyper, rep),
+                step=jax.device_put(carry.step, rep),
             )
 
         return _checkpointed_run(
@@ -350,6 +367,7 @@ def sample_sharded(
             ),
             num_warmup=num_warmup,
             _crash_after_warmup_segments=_crash_after_warmup_segments,
+            place_carry=meads_place_carry,
         )
     if algorithm == "chees":
         from aehmc_tpu import chees
@@ -658,6 +676,7 @@ def _checkpointed_run(
     warmup_hooks=None,
     num_warmup=0,
     _crash_after_warmup_segments=None,
+    place_carry=None,
 ):
     """Segmented sampling loop with periodic snapshots (SURVEY.md §5).
 
@@ -739,7 +758,13 @@ def _checkpointed_run(
         done_segments = int(loaded["done_segments"])
         out_chunks = [loaded["outs"]]
         if mesh is not None:
-            carry = jax.device_put(carry, chain_sharding(mesh))
+            # Re-pin the restored carry's placement (the full run's
+            # segments saw these shardings); families whose carry mixes
+            # chain-major and replicated leaves supply place_carry.
+            if place_carry is not None:
+                carry = place_carry(carry)
+            else:
+                carry = jax.device_put(carry, chain_sharding(mesh))
     elif warmup_hooks is not None and num_warmup > 0:
         wh_init, wh_segment, wh_finish, wh_place = warmup_hooks
         wseg_fn = jax.jit(

@@ -2,8 +2,10 @@
 
 Run:  python benchmarks/run.py [config ...]
 Configs: readme_nuts, linreg_warmup, mvn25_dense, funnel, logistic_10k,
-chees_10k, meads_10k, nuts_fused_10k, nuts_fused_generic_10k,
-funnel_fused, mvn25_fused, nuts_fused_adaptive_10k, all
+chees_10k, meads_10k, meads_10k_amortized, nuts_fused_10k,
+nuts_fused_generic_10k, nuts_fused_t_10k, funnel_fused,
+eight_schools_fused, mvn25_fused, mvn25_dense_fused_adaptive,
+nuts_fused_adaptive_10k, flagship_end_to_end, all
 (the *fused* configs need a real TPU).
 
 Each prints one JSON line per config (stdout); narration on stderr.
@@ -244,15 +246,24 @@ def funnel():
         lambda r: jitted(jax.random.PRNGKey(1 + r))
     )
     evals = int(np.sum(np.asarray(steps)))
+    ess_sec, min_ess, capped = _ess_per_sec(jnp.swapaxes(pos, 0, 1), dt)
     log(
         f"funnel: mean depth {float(np.mean(np.asarray(doublings))):.1f}, "
-        f"max depth {int(np.max(np.asarray(doublings)))}"
+        f"max depth {int(np.max(np.asarray(doublings)))}, "
+        f"min ESS {min_ess:.0f}"
     )
     _emit(
         "neals_funnel_depth10",
         evals / dt,
         "grad_evals/s",
-        {"chains": num_chains, "runs": TIMED_RUNS, "stat": "median"},
+        {
+            "ess_per_sec": round(ess_sec),
+            "min_ess": round(min_ess),
+            "ess_capped": capped,
+            "chains": num_chains,
+            "runs": TIMED_RUNS,
+            "stat": "median",
+        },
     )
 
 
@@ -392,10 +403,7 @@ def chees_10k():
     )
 
 
-def meads_10k():
-    """MEADS on the config-5 posterior: tuning-free adaptive GHMC — one
-    leapfrog per transition, zero per-chain control flow, hyperparameters
-    re-estimated cross-fold every iteration (see aehmc_tpu/meads.py)."""
+def _meads_10k_impl(name, recompute_every):
     from aehmc_tpu import meads
     from aehmc_tpu.models import logistic_regression
 
@@ -409,38 +417,35 @@ def meads_10k():
     t0 = time.perf_counter()
     warm = jax.jit(
         lambda k: meads.sample(
-            k, logprob_fn, qs, num_samples=1, num_warmup=500
+            k, logprob_fn, qs, num_samples=1, num_warmup=500,
+            recompute_every=recompute_every,
         )
     )(jax.random.PRNGKey(1))
     jax.block_until_ready(warm[0].position)
     warmup_wall = time.perf_counter() - t0
     states = warm[0]
 
-    def draws_only(key, states):
-        kernel = meads.new_kernel(logprob_fn)
+    def draws_only(key, positions):
+        _, pos, infos, _ = meads.sample(
+            key, logprob_fn, positions, num_samples=num_draws,
+            num_warmup=0, recompute_every=recompute_every,
+        )
+        return pos, infos.acceptance_probability
 
-        def one(states, k):
-            new_states, infos, _ = kernel(k, states)
-            return new_states, (new_states.position,
-                                infos.acceptance_probability)
-
-        ks = jax.random.split(key, num_draws)
-        return jax.lax.scan(one, states, ks)
-
-    sampler = jax.jit(draws_only)
-    out = sampler(jax.random.PRNGKey(2), states)
-    jax.block_until_ready(out[1][0])
-    dt, (_, (pos, accept)) = _median_time(
-        lambda r: sampler(jax.random.PRNGKey(3 + r), states)
+    sampler = jax.jit(lambda k: draws_only(k, states.position))
+    out = sampler(jax.random.PRNGKey(2))
+    jax.block_until_ready(out[0])
+    dt, (pos, accept) = _median_time(
+        lambda r: sampler(jax.random.PRNGKey(3 + r))
     )
     evals = num_draws * num_chains  # exactly one grad eval per transition
     ess_sec, min_ess, capped = _ess_per_sec(pos, dt)
     log(
-        f"meads 10k: accept {float(np.mean(np.asarray(accept))):.3f}, "
+        f"{name}: accept {float(np.mean(np.asarray(accept))):.3f}, "
         f"min ESS {min_ess:.0f}, warmup {warmup_wall:.1f}s"
     )
     _emit(
-        "meads_10k_chains_100d",
+        name,
         evals / dt,
         "grad_evals/s",
         {
@@ -449,11 +454,25 @@ def meads_10k():
             "draws": num_draws,
             "min_ess": round(min_ess),
             "ess_capped": capped,
+            "recompute_every": recompute_every,
             "warmup_wall_s": round(warmup_wall, 1),
             "runs": TIMED_RUNS,
             "stat": "median",
         },
     )
+
+
+def meads_10k():
+    """MEADS on the config-5 posterior: tuning-free adaptive GHMC — one
+    leapfrog per transition, zero per-chain control flow, hyperparameters
+    re-estimated cross-fold every iteration (see aehmc_tpu/meads.py)."""
+    _meads_10k_impl("meads_10k_chains_100d", 1)
+
+
+def meads_10k_amortized():
+    """MEADS with hyperparameter re-estimation every 8 iterations — the
+    amortized kernel (aehmc_tpu/meads.py new_kernel recompute_every)."""
+    _meads_10k_impl("meads_10k_chains_100d_amortized", 8)
 
 
 def nuts_fused_10k():
@@ -509,7 +528,7 @@ def nuts_fused_generic_10k():
     from aehmc_tpu.models import logistic_regression_data
     from aehmc_tpu.ops.nuts_fused import sample_fused
 
-    dim, n_points, num_chains, num_draws = 100, 1000, 10_240, 100
+    dim, n_points, num_chains, num_draws = 100, 1000, 10_240, 200
     X, y = logistic_regression_data(dim=dim, num_points=n_points)
     q0 = 0.1 * jax.random.normal(
         jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
@@ -536,15 +555,25 @@ def nuts_fused_generic_10k():
     dt, out = _median_time(lambda r: f(jax.random.PRNGKey(2 + r)))
     stats = np.asarray(out[2])
     evals = int(stats[:, :, 3].sum())
+    ess_sec, min_ess, capped = _ess_per_sec(out[1], dt)
     log(
         f"nuts_fused_generic: accept {stats[:, :, 1].mean():.3f}, "
-        f"div {int(stats[:, :, 4].sum())}"
+        f"div {int(stats[:, :, 4].sum())}, min ESS {min_ess:.0f}"
     )
     _emit(
         "nuts_fused_generic_10k_chains_100d",
         evals / dt,
         "grad_evals/s",
-        {"chains": num_chains, "runs": TIMED_RUNS, "stat": "median"},
+        {
+            "ess_per_sec": round(ess_sec),
+            "min_ess": round(min_ess),
+            "ess_capped": capped,
+            "divergences": int(stats[:, :, 4].sum()),
+            "chains": num_chains,
+            "draws": num_draws,
+            "runs": TIMED_RUNS,
+            "stat": "median",
+        },
     )
 
 
@@ -587,15 +616,25 @@ def funnel_fused():
         dt, out = _median_time(lambda r: f(jax.random.PRNGKey(2 + r)))
         stats = np.asarray(out[2])
         evals = int(stats[:, :, 3].sum())
+        ess_sec, min_ess, capped = _ess_per_sec(out[1], dt)
         log(
             f"funnel_fused {num_chains} chains: accept "
-            f"{stats[:, :, 1].mean():.3f}, div {int(stats[:, :, 4].sum())}"
+            f"{stats[:, :, 1].mean():.3f}, div {int(stats[:, :, 4].sum())}, "
+            f"min ESS {min_ess:.0f}"
         )
         _emit(
             f"funnel_fused_smallk_{num_chains}",
             evals / dt,
             "grad_evals/s",
-            {"chains": num_chains, "runs": TIMED_RUNS, "stat": "median"},
+            {
+                "ess_per_sec": round(ess_sec),
+                "min_ess": round(min_ess),
+                "ess_capped": capped,
+                "divergences": int(stats[:, :, 4].sum()),
+                "chains": num_chains,
+                "runs": TIMED_RUNS,
+                "stat": "median",
+            },
         )
 
 
@@ -630,21 +669,272 @@ def nuts_fused_adaptive_10k():
     _, pos, stats, eps, imm = out
     stats = np.asarray(stats)
     evals = int(stats[:, :, 3].sum())
+    ess_sec, min_ess, capped = _ess_per_sec(pos, dt)
     log(
         f"fused adaptive: eps {float(eps):.4f}, accept "
-        f"{stats[:, :, 1].mean():.3f}, div {int(stats[:, :, 4].sum())}"
+        f"{stats[:, :, 1].mean():.3f}, div {int(stats[:, :, 4].sum())}, "
+        f"min ESS {min_ess:.0f}"
     )
     _emit(
         "nuts_fused_adaptive_10k",
         evals / dt,
         "grad_evals/s",
         {
+            "ess_per_sec": round(ess_sec),
+            "min_ess": round(min_ess),
+            "ess_capped": capped,
+            "divergences": int(stats[:, :, 4].sum()),
             "chains": num_chains,
-            "note": "warmup(150)+sampling(200) both in-kernel; evals "
-                    "counted over sampling only, time over the whole run",
+            "note": "warmup(150)+sampling(200) both in-kernel; evals/ESS "
+                    "counted over sampling only, time over the whole run "
+                    "(see flagship_end_to_end for the per-phase protocol)",
             "runs": TIMED_RUNS,
             "stat": "median",
         },
+    )
+
+
+def mvn25_dense_fused_adaptive():
+    """Dense-metric SELF-TUNING through the fused driver (VERDICT #5):
+    warmup adapts a full (25, 25) inverse mass (dense Welford + Stan
+    shrinkage) and feeds it straight into the transposed kernel's
+    in-kernel dense path; sampling runs on the tuned matrix.  Posterior
+    gates: unit variances and the true correlation recovered."""
+    from aehmc_tpu.ops.fused_driver import sample_fused_adaptive
+
+    dim, rho = 25, 0.5
+    cov = np.full((dim, dim), rho, dtype=np.float32)
+    np.fill_diagonal(cov, 1.0)
+    prec = np.linalg.inv(cov.astype(np.float64)).astype(np.float32)
+    num_chains, num_warmup, num_draws = 2048, 300, 300
+
+    def pot_t(q_t, prec_mat):
+        return 0.5 * jnp.sum(q_t * (prec_mat @ q_t), axis=0)
+
+    q0 = jax.random.normal(
+        jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
+    )
+    f = jax.jit(
+        lambda k: sample_fused_adaptive(
+            k, None, [jnp.asarray(prec)], q0, num_draws, num_warmup,
+            potential_fn_t=pot_t,
+            max_num_expansions=8, block_chains=1024,
+            is_mass_matrix_full=True, initial_step_size=0.3,
+        )
+    )
+    out = f(jax.random.PRNGKey(1))
+    jax.block_until_ready(out[1])
+    dt, out = _median_time(lambda r: f(jax.random.PRNGKey(2 + r)))
+    _, pos, stats, eps, imm = out
+    stats = np.asarray(stats)
+    evals = int(stats[:, :, 3].sum())
+    ess_sec, min_ess, capped = _ess_per_sec(pos, dt)
+    flat = np.asarray(pos)[100:].reshape(-1, dim)
+    var_err = float(np.abs(flat.var(axis=0) - 1.0).max())
+    corr = float(np.corrcoef(flat[:, 0], flat[:, 1])[0, 1])
+    imm_np = np.asarray(imm)
+    offdiag_ratio = float(
+        imm_np[~np.eye(dim, dtype=bool)].mean() / np.diag(imm_np).mean()
+    )
+    log(
+        f"mvn25 dense adaptive: eps {float(eps):.3f}, accept "
+        f"{stats[:, :, 1].mean():.3f}, div {int(stats[:, :, 4].sum())}, "
+        f"var_err {var_err:.3f}, corr {corr:.3f} (true {rho}), "
+        f"tuned offdiag/diag {offdiag_ratio:.3f} (true {rho})"
+    )
+    _emit(
+        "mvn25_dense_fused_adaptive",
+        ess_sec,
+        "ESS/s",
+        {
+            "grad_evals_per_sec": round(evals / dt),
+            "chains": num_chains,
+            "draws": num_draws,
+            "min_ess": round(min_ess),
+            "ess_capped": capped,
+            "divergences": int(stats[:, :, 4].sum()),
+            "posterior_var_err": round(var_err, 3),
+            "posterior_corr": round(corr, 3),
+            "tuned_offdiag_ratio": round(offdiag_ratio, 3),
+            "note": "warmup(300)+sampling(300) in one program; time over "
+                    "the whole run, evals/ESS over sampling",
+            "runs": TIMED_RUNS,
+            "stat": "median",
+        },
+    )
+
+
+def flagship_end_to_end():
+    """VERDICT round-2 #3: the flagship comparison under ONE accounting.
+
+    Same posterior (100-d logistic, 1000 points), same 10,240 chains,
+    same 150 warmup steps and 200 draws, same two-phase protocol for all
+    three paths: warmup is one jitted program (timed median-of-3 after a
+    compile call), sampling another (median-of-5).  Reported per path:
+    warmup wall, sampling wall, sampling grad-evals/s, sampling ESS/s,
+    and END-TO-END ESS/s = sampling ESS / (warmup + sampling wall) — the
+    draws-per-second-of-total-runtime number a user actually gets.
+    """
+    from aehmc_tpu import chees, hmc, nuts
+    from aehmc_tpu.models import logistic_regression, logistic_regression_t
+    from aehmc_tpu.ops.fused_driver import warmup_fused
+    from aehmc_tpu.ops.nuts_fused_small import (
+        make_fused_nuts_transition_small,
+        sample_fused_small,
+    )
+    from aehmc_tpu.parallel.pooled import pooled_warmup
+    from aehmc_tpu.sampling import sample_loop
+
+    dim, num_chains, W, D = 100, 10_240, 150, 200
+    logprob_fn, q0 = logistic_regression(dim=dim, num_points=1000)
+    keys = jax.random.split(jax.random.PRNGKey(0), num_chains)
+    qs = jnp.tile(q0, (num_chains, 1)) + 0.1 * jax.vmap(
+        lambda k: jax.random.normal(k, (dim,), jnp.float32)
+    )(keys)
+
+    def timed(fn, runs):
+        fn(0)  # compile
+        times, out = [], None
+        for r in range(runs):
+            t0 = time.perf_counter()
+            out = fn(1 + r)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times)), out
+
+    def report(path, t_warm, t_samp, pos, evals, accept, div):
+        ess_sec, min_ess, capped = _ess_per_sec(pos, t_samp)
+        total = t_warm + t_samp
+        e2e = ess_sec * t_samp / total
+        log(
+            f"flagship[{path}]: warmup {t_warm:.2f}s + sampling "
+            f"{t_samp:.2f}s; {evals / t_samp / 1e6:.1f}M evals/s, "
+            f"{ess_sec / 1e6:.0f}M ESS/s sampling, {e2e / 1e6:.0f}M "
+            f"ESS/s end-to-end; accept {accept:.3f}, div {div}"
+        )
+        _emit(
+            f"flagship_e2e_{path}",
+            e2e,
+            "ESS/s_end_to_end",
+            {
+                "warmup_wall_s": round(t_warm, 2),
+                "sampling_wall_s": round(t_samp, 2),
+                "total_wall_s": round(total, 2),
+                "sampling_grad_evals_per_sec": round(evals / t_samp),
+                "sampling_ess_per_sec": round(ess_sec),
+                "min_ess": round(min_ess),
+                "ess_capped": capped,
+                "accept": round(accept, 3),
+                "divergences": int(div),
+                "chains": num_chains,
+                "warmup_steps": W,
+                "draws": D,
+                "protocol": "same posterior/chains/W/D; warmup median-of-3"
+                            ", sampling median-of-5, compile excluded",
+            },
+        )
+
+    # ---------- (a) XLA pooled path ----------
+    kernel = nuts.new_kernel(logprob_fn, max_num_expansions=8)
+    states = jax.vmap(lambda q: hmc.new_state(q, logprob_fn))(qs)
+    warm_fn = jax.jit(
+        lambda k: pooled_warmup(
+            k, kernel, states, num_steps=W, initial_step_size=0.1
+        )
+    )
+    t_warm, (warm_states, (eps, imm), _) = timed(
+        lambda r: warm_fn(jax.random.PRNGKey(10 + r)), 3
+    )
+
+    def xla_sample(key):
+        ks = jax.random.split(key, num_chains)
+
+        def chain(k, s):
+            bound = lambda kk, ss: kernel(kk, ss, eps, imm)  # noqa: E731
+            _, pos, infos = sample_loop(k, bound, s, D)
+            return (
+                pos,
+                infos.num_integration_steps,
+                infos.acceptance_probability,
+                infos.is_diverging,
+            )
+
+        return jax.vmap(chain)(ks, warm_states)
+
+    samp_fn = jax.jit(xla_sample)
+    t_samp, (pos, steps, accept, div) = timed(
+        lambda r: samp_fn(jax.random.PRNGKey(20 + r)), TIMED_RUNS
+    )
+    report(
+        "xla", t_warm, t_samp, jnp.swapaxes(pos, 0, 1),
+        int(np.sum(np.asarray(steps))),
+        float(np.mean(np.asarray(accept))),
+        int(np.sum(np.asarray(div))),
+    )
+
+    # ---------- (b) fused adaptive transposed driver ----------
+    potential_t, data_t, _ = logistic_regression_t(dim=dim, num_points=1000)
+    transition = make_fused_nuts_transition_small(
+        potential_t, list(data_t),
+        max_num_expansions=6, block_chains=256,
+    )
+    rows = [jnp.asarray(d, jnp.float32) for d in data_t]
+    rows = [d.reshape(1, -1) if d.ndim < 2 else d for d in rows]
+    u0, pull = jax.vjp(
+        lambda qq: potential_t(qq, *rows), qs.T.astype(jnp.float32)
+    )
+    (g0_t,) = pull(jnp.ones_like(u0))
+    u0 = u0.reshape(num_chains, 1)
+    g0 = g0_t.T
+    fwarm_fn = jax.jit(
+        lambda k: warmup_fused(
+            k, transition, qs.astype(jnp.float32), u0, g0, W,
+            max_num_expansions=6, initial_step_size=0.1,
+        )
+    )
+    t_warm_f, ((qw, _, _), eps_f, imm_f) = timed(
+        lambda r: fwarm_fn(jax.random.PRNGKey(30 + r)), 3
+    )
+    fsamp_fn = jax.jit(
+        lambda k: sample_fused_small(
+            k, potential_t, list(data_t), qw, D, eps_f, imm_f,
+            max_num_expansions=6, block_chains=256,
+        )
+    )
+    t_samp_f, (_, pos_f, stats_f) = timed(
+        lambda r: fsamp_fn(jax.random.PRNGKey(40 + r)), TIMED_RUNS
+    )
+    stats_f = np.asarray(stats_f)
+    report(
+        "fused", t_warm_f, t_samp_f, pos_f,
+        int(stats_f[:, :, 3].sum()),
+        float(stats_f[:, :, 1].mean()),
+        int(stats_f[:, :, 4].sum()),
+    )
+
+    # ---------- (c) ChEES ----------
+    cwarm_fn = jax.jit(
+        lambda k: chees.warmup(
+            k, logprob_fn, states, num_steps=W, initial_step_size=0.05
+        )
+    )
+    t_warm_c, cres = timed(
+        lambda r: cwarm_fn(jax.random.PRNGKey(50 + r)), 3
+    )
+    csamp_fn = jax.jit(
+        lambda k: chees.sample(
+            k, logprob_fn, cres.states, D, cres.step_size,
+            cres.trajectory_length, cres.inverse_mass_matrix,
+        )
+    )
+    t_samp_c, (_, pos_c, info_c) = timed(
+        lambda r: csamp_fn(jax.random.PRNGKey(60 + r)), TIMED_RUNS
+    )
+    report(
+        "chees", t_warm_c, t_samp_c, pos_c,
+        int(np.sum(np.asarray(info_c.num_integration_steps))) * num_chains,
+        float(np.mean(np.asarray(info_c.acceptance_probability))),
+        int(np.sum(np.asarray(info_c.is_diverging))),
     )
 
 
@@ -777,20 +1067,69 @@ def eight_schools_fused():
     _, pos, stats, eps, imm = out
     stats = np.asarray(stats)
     mu = np.asarray(pos)[100:, :, 0]
+    ess_sec, min_ess, capped = _ess_per_sec(pos, dt)
     log(
         f"8schools_fused: eps {float(eps):.3f}, accept "
-        f"{stats[:, :, 1].mean():.3f}, mu {mu.mean():.2f}+-{mu.std():.2f}"
+        f"{stats[:, :, 1].mean():.3f}, mu {mu.mean():.2f}+-{mu.std():.2f}, "
+        f"min ESS {min_ess:.0f}"
     )
     _emit(
         "eight_schools_adaptive_full_run",
         dt * 1e3,
         "ms",
         {
+            "ess_per_sec": round(ess_sec),
+            "min_ess": round(min_ess),
+            "ess_capped": capped,
+            "divergences": int(stats[:, :, 4].sum()),
             "chains": chains,
             "steps": 1000,
             "note": "500 warmup + 500 draws, self-tuning, all in-kernel",
             "runs": TIMED_RUNS,
             "stat": "median",
+        },
+    )
+
+
+def tpu_gates():
+    """Machine-recorded on-chip validation of the production fast paths
+    (VERDICT round-2 #2): runs the TPU-only statistical gates
+    (tests/test_nuts_fused_tpu.py — in-kernel PRNG moments, loop-in-kernel
+    state carry, dense-metric moments, adaptive-driver recovery) on the
+    attached chip in a subprocess (AEHMC_TPU_SUITE=1 lifts the conftest's
+    CPU forcing) and emits one pass/fail record the driver captures."""
+    import os
+    import re as _re
+    import subprocess
+
+    env = dict(os.environ, AEHMC_TPU_SUITE="1")
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_nuts_fused_tpu.py",
+         "-q", "-p", "no:cacheprovider"],
+        capture_output=True, text=True, env=env,
+        cwd=str(__import__("pathlib").Path(__file__).resolve().parent.parent),
+    )
+    tail = (proc.stdout.strip().splitlines() or [""])[-1]
+    log(f"tpu_gates: {tail}")
+    if proc.returncode != 0:
+        log(proc.stdout[-3000:])
+        log(proc.stderr[-2000:])
+    m = _re.search(r"(\d+) passed", tail)
+    n_passed = int(m.group(1)) if m else 0
+    m = _re.search(r"(\d+) (?:failed|error)", tail)
+    n_failed = int(m.group(1)) if m else 0
+    m = _re.search(r"(\d+) skipped", tail)
+    n_skipped = int(m.group(1)) if m else 0
+    _emit(
+        "tpu_statistical_gates",
+        1.0 if proc.returncode == 0 and n_passed > 0 else 0.0,
+        "pass",
+        {
+            "suite": "tests/test_nuts_fused_tpu.py",
+            "passed": n_passed,
+            "failed": n_failed,
+            "skipped": n_skipped,
+            "pytest_exit": int(proc.returncode),
         },
     )
 
@@ -803,13 +1142,17 @@ CONFIGS = {
     "logistic_10k": logistic_10k,
     "chees_10k": chees_10k,
     "meads_10k": meads_10k,
+    "meads_10k_amortized": meads_10k_amortized,
     "nuts_fused_10k": nuts_fused_10k,
     "nuts_fused_generic_10k": nuts_fused_generic_10k,
     "nuts_fused_t_10k": nuts_fused_t_10k,
     "funnel_fused": funnel_fused,
     "eight_schools_fused": eight_schools_fused,
     "mvn25_fused": mvn25_fused,
+    "mvn25_dense_fused_adaptive": mvn25_dense_fused_adaptive,
     "nuts_fused_adaptive_10k": nuts_fused_adaptive_10k,
+    "flagship_end_to_end": flagship_end_to_end,
+    "tpu_gates": tpu_gates,
 }
 
 

@@ -58,3 +58,57 @@ def test_adaptive_driver_tunes_and_samples(layout):
     # sampling phase healthy
     assert stats[:, :, 1].mean() > 0.4
     assert np.isfinite(np.asarray(pos)).all()
+
+
+def test_adaptive_driver_dense_self_tuning():
+    """Dense-metric self-tuning end-to-end in-kernel (VERDICT #5): the
+    window adaptation runs dense Welford + Stan shrinkage and feeds the
+    (dim, dim) M^{-1} straight into the transposed kernel's dense path.
+    On a correlated MVN the tuned matrix must pick up the off-diagonal
+    structure and the sampler must recover the posterior."""
+    rho, dim, chains = 0.7, 4, 64
+    cov = np.full((dim, dim), rho, np.float32)
+    np.fill_diagonal(cov, 1.0)
+    prec = np.linalg.inv(cov.astype(np.float64)).astype(np.float32)
+
+    def potential_t(q_t, prec_mat):
+        return 0.5 * jnp.sum(q_t * (prec_mat @ q_t), axis=0)
+
+    q0 = 0.5 * jax.random.normal(
+        jax.random.PRNGKey(2), (chains, dim), jnp.float32
+    )
+    qf, pos, stats, eps, imm = sample_fused_adaptive(
+        jax.random.PRNGKey(3), None, [jnp.asarray(prec)], q0,
+        num_samples=150,
+        num_warmup=200,
+        potential_fn_t=potential_t,
+        max_num_expansions=4,
+        block_chains=chains,
+        is_mass_matrix_full=True,
+        initial_step_size=0.3,
+        use_internal_prng=False,
+        interpret=True,
+    )
+    imm = np.asarray(imm)
+    assert imm.shape == (dim, dim)
+    # tuned dense M^{-1} approximates the posterior covariance: strong
+    # positive off-diagonals relative to the diagonal
+    offdiag = imm[~np.eye(dim, dtype=bool)]
+    assert offdiag.mean() > 0.3 * np.diag(imm).mean()
+    assert 0.05 < float(eps) < 3.0
+    stats = np.asarray(stats)
+    assert stats[:, :, 1].mean() > 0.5
+    assert stats[:, :, 4].sum() == 0
+    flat = np.asarray(pos)[50:].reshape(-1, dim)
+    np.testing.assert_allclose(flat.var(axis=0), 1.0, rtol=0.25)
+    corr = np.corrcoef(flat[:, 0], flat[:, 1])[0, 1]
+    assert abs(corr - rho) < 0.12
+
+
+def test_adaptive_driver_dense_requires_transposed_kernel():
+    with pytest.raises(ValueError, match="transposed"):
+        sample_fused_adaptive(
+            jax.random.PRNGKey(0), _potential, [VAR],
+            jnp.zeros((8, 4), jnp.float32),
+            is_mass_matrix_full=True,
+        )

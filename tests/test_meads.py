@@ -25,11 +25,13 @@ def test_meads_kernel_shapes_and_hyperparams():
     dim, chains = 3, 16
     logprob_fn = mvn(np.zeros(dim), np.diag([1.0, 4.0, 0.25]))
     positions = jax.random.normal(jax.random.PRNGKey(0), (chains, dim))
-    states = meads.init_states(jax.random.PRNGKey(1), positions, logprob_fn)
+    carry = meads.init_carry(jax.random.PRNGKey(1), positions, logprob_fn)
     kernel = meads.new_kernel(logprob_fn, num_folds=4)
 
-    new_states, infos, hyper = jax.jit(kernel)(jax.random.PRNGKey(2), states)
-    assert new_states.position.shape == (chains, dim)
+    new_carry, infos = jax.jit(kernel)(jax.random.PRNGKey(2), carry)
+    hyper = new_carry.hyper
+    assert new_carry.states.position.shape == (chains, dim)
+    assert int(new_carry.step) == 1
     assert infos.acceptance_probability.shape == (chains,)
     assert hyper.step_size.shape == (4,)
     assert hyper.inverse_mass_matrix.shape == (4, dim)
@@ -37,7 +39,58 @@ def test_meads_kernel_shapes_and_hyperparams():
     assert np.all(np.isfinite(np.asarray(hyper.step_size)))
     alpha = np.asarray(hyper.alpha)
     assert np.all((alpha > 0) & (alpha < 1))
-    assert np.all(np.isfinite(np.asarray(new_states.position)))
+    assert np.all(np.isfinite(np.asarray(new_carry.states.position)))
+
+
+def test_meads_amortized_matches_per_step_estimates():
+    """recompute_every=k reuses the carried hyperparameters between
+    re-estimations: steps 0..k-1 all run with the step-0 estimate, and
+    step k re-estimates exactly what the per-step kernel would."""
+    dim, chains = 3, 16
+    logprob_fn = mvn(np.zeros(dim), np.diag([1.0, 4.0, 0.25]))
+    positions = jax.random.normal(jax.random.PRNGKey(0), (chains, dim))
+    carry0 = meads.init_carry(jax.random.PRNGKey(1), positions, logprob_fn)
+    k_every = meads.new_kernel(logprob_fn, num_folds=4)
+    k_amort = meads.new_kernel(logprob_fn, num_folds=4, recompute_every=3)
+
+    ca, cb = carry0, carry0
+    for i in range(4):
+        key = jax.random.PRNGKey(10 + i)
+        ca, _ = jax.jit(k_every)(key, ca)
+        cb, _ = jax.jit(k_amort)(key, cb)
+        if i == 0:
+            # both re-estimate at step 0 from identical states; the two
+            # kernels are distinct XLA programs (cond-wrapped estimation),
+            # so allow fusion-level rounding only
+            np.testing.assert_allclose(
+                np.asarray(ca.states.position),
+                np.asarray(cb.states.position),
+                rtol=1e-12, atol=1e-12,
+            )
+            hyper_step0 = cb.hyper
+        if 0 < i < 3:
+            # amortized kernel holds the step-0 estimate
+            for a, b in zip(hyper_step0, cb.hyper):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # step 3 re-estimated: hyper changed
+    assert not np.array_equal(
+        np.asarray(hyper_step0.step_size), np.asarray(cb.hyper.step_size)
+    )
+
+
+def test_meads_amortized_statistical_correctness():
+    """The amortized kernel must pass the same tier-4 MCSE gate."""
+    (loc, scale, rho), logprob_fn = multivariate_normal_model()
+    chains = 64
+    positions = jax.random.normal(jax.random.PRNGKey(15), (chains, 2))
+    _, pos, infos, _ = jax.jit(
+        lambda k: meads.sample(
+            k, logprob_fn, positions, num_samples=600, num_warmup=600,
+            recompute_every=8,
+        )
+    )(jax.random.PRNGKey(16))
+    _assert_mcse_multichain(pos, loc, scale, rho)
+    assert not np.any(np.asarray(infos.is_diverging))
 
 
 def test_meads_rejects_bad_fold_split():
