@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from aehmc_tpu.algorithms import pairwise_mean, welford_update_batch
 from aehmc_tpu.ops.nuts_fused import (
     BLOCK_SEED_STRIDE,
+    DRAW_SEED_STRIDE,
     _as_row,
     derive_draw_seeds,
     make_fused_nuts_transition,
@@ -153,6 +154,88 @@ def shard_fused_transition(
     return sharded
 
 
+def warmup_fused_hooks(
+    transition: Callable,
+    num_chains: int,
+    dim: int,
+    num_steps: int = 400,
+    *,
+    max_num_expansions: int,
+    is_mass_matrix_full: bool = False,
+    initial_step_size: float = 0.1,
+    target_acceptance_rate: float = 0.8,
+    use_internal_prng: bool = True,
+) -> Tuple[Callable, Callable, Callable]:
+    """Segmentable fused warmup: ``(init, segment, finish)``.
+
+    Same contract as
+    :func:`aehmc_tpu.parallel.pooled.pooled_warmup_hooks`: the warmup
+    carry is a pure pytree (chain state triple, WindowAdaptationState,
+    the precomputed per-step key/seed arrays), so scanning the step
+    range in slices reproduces the single-scan run bit for bit — the
+    substrate for warmup-phase checkpointing of the megakernel driver.
+    ``init(rng_key, (q, u, g)) -> wcarry``; ``segment(wcarry, steps) ->
+    (wcarry, accept_history)``; ``finish(wcarry) -> ((q, u, g),
+    (step_size, inverse_mass_matrix))``.
+    """
+    init_adapt, update_adapt = window_adaptation(
+        num_steps,
+        is_mass_matrix_full,
+        initial_step_size,
+        target_acceptance_rate,
+        welford_update_fn=welford_update_batch(is_mass_matrix_full),
+        acceptance_statistic=lambda stats: pairwise_mean(stats[:, 1]),
+        num_dims_fn=lambda positions: positions.shape[1],
+    )
+
+    def init(rng_key, qug):
+        q, u0, g0 = qug
+        adaptation_state = init_adapt(
+            ChainState(
+                position=q,
+                potential_energy=u0[:, 0],
+                potential_energy_grad=g0,
+            )
+        )
+        key_seed, key_scan = jax.random.split(rng_key)
+        keys = jax.random.split(key_scan, num_steps)
+        seeds = derive_draw_seeds(key_seed, num_steps)
+        return ((q, u0, g0), adaptation_state, keys, seeds)
+
+    def one_step(carry, inputs):
+        (q, u, g), ast = carry
+        step, key, seed = inputs
+        if use_internal_prng:
+            qn, un, gn, stats = transition(
+                q, u, g, None, None, None, None,
+                ast.inverse_mass_matrix, ast.step_size, seed=seed,
+            )
+        else:
+            p, dirs, ub, ul = _external_randomness(
+                key, ast.inverse_mass_matrix, num_chains, dim,
+                max_num_expansions,
+            )
+            qn, un, gn, stats = transition(
+                q, u, g, p, dirs, ub, ul,
+                ast.inverse_mass_matrix, ast.step_size,
+            )
+        new_ast = update_adapt(step, ast, qn, stats)
+        return ((qn, un, gn), new_ast), stats[:, 1]
+
+    def segment(wcarry, steps):
+        qug, ast, keys, seeds = wcarry
+        (qug, ast), accepts = jax.lax.scan(
+            one_step, (qug, ast), (steps, keys[steps], seeds[steps])
+        )
+        return (qug, ast, keys, seeds), accepts
+
+    def finish(wcarry):
+        qug, ast, _, _ = wcarry
+        return qug, (ast.step_size, ast.inverse_mass_matrix)
+
+    return init, segment, finish
+
+
 def warmup_fused(
     rng_key: jax.Array,
     transition: Callable,
@@ -185,57 +268,21 @@ def warmup_fused(
     on-chip PRNG is unavailable).
     """
     num_chains, dim = initial_positions.shape
-
-    init_adapt, update_adapt = window_adaptation(
+    init, segment, finish = warmup_fused_hooks(
+        transition,
+        num_chains,
+        dim,
         num_steps,
-        is_mass_matrix_full,
-        initial_step_size,
-        target_acceptance_rate,
-        welford_update_fn=welford_update_batch(is_mass_matrix_full),
-        acceptance_statistic=lambda stats: pairwise_mean(stats[:, 1]),
-        num_dims_fn=lambda positions: positions.shape[1],
+        max_num_expansions=max_num_expansions,
+        is_mass_matrix_full=is_mass_matrix_full,
+        initial_step_size=initial_step_size,
+        target_acceptance_rate=target_acceptance_rate,
+        use_internal_prng=use_internal_prng,
     )
-    adaptation_state = init_adapt(
-        ChainState(
-            position=initial_positions,
-            potential_energy=u0[:, 0],
-            potential_energy_grad=g0,
-        )
-    )
-
-    def one_step(carry, inputs):
-        (q, u, g), ast = carry
-        step, key, seed = inputs
-        if use_internal_prng:
-            qn, un, gn, stats = transition(
-                q, u, g, None, None, None, None,
-                ast.inverse_mass_matrix, ast.step_size, seed=seed,
-            )
-        else:
-            p, dirs, ub, ul = _external_randomness(
-                key, ast.inverse_mass_matrix, num_chains, dim,
-                max_num_expansions,
-            )
-            qn, un, gn, stats = transition(
-                q, u, g, p, dirs, ub, ul,
-                ast.inverse_mass_matrix, ast.step_size,
-            )
-        new_ast = update_adapt(step, ast, qn, stats)
-        return ((qn, un, gn), new_ast), stats[:, 1]
-
-    key_seed, key_scan = jax.random.split(rng_key)
-    keys = jax.random.split(key_scan, num_steps)
-    seeds = derive_draw_seeds(key_seed, num_steps)
-    steps = jnp.arange(num_steps, dtype=jnp.int32)
-    ((q, u, g), adaptation_state), _ = jax.lax.scan(
-        one_step, ((initial_positions, u0, g0), adaptation_state),
-        (steps, keys, seeds),
-    )
-    return (
-        (q, u, g),
-        adaptation_state.step_size,
-        adaptation_state.inverse_mass_matrix,
-    )
+    wcarry = init(rng_key, (initial_positions, u0, g0))
+    wcarry, _ = segment(wcarry, jnp.arange(num_steps, dtype=jnp.int32))
+    (q, u, g), (eps, imm) = finish(wcarry)
+    return (q, u, g), eps, imm
 
 
 def sample_fused_adaptive(
@@ -257,6 +304,11 @@ def sample_fused_adaptive(
     use_internal_prng: bool = True,
     interpret: bool = False,
     mesh=None,
+    checkpoint_every: int = 0,
+    checkpoint_path: str = None,
+    resume: bool = False,
+    _crash_after_segments: int = None,
+    _crash_after_warmup_segments: int = None,
 ):
     """One-call megakernel driver: fused warmup + fused sampling.
 
@@ -271,6 +323,14 @@ def sample_fused_adaptive(
     to shard the chain axis across devices: the kernel runs per-device
     under ``shard_map`` while the pooled-adaptation reductions cross
     devices as ICI collectives (:func:`shard_fused_transition`).
+
+    **Checkpoint / resume** like ``sample_sharded``: pass
+    ``checkpoint_every=N, checkpoint_path="run.npz"`` to snapshot both
+    phases (warmup to ``<path>_warmup.npz``); with ``resume=True`` a
+    killed run — even mid-warmup — continues from the last snapshot and
+    reproduces the uninterrupted checkpointed run bit for bit (in-kernel
+    PRNG seeds are indexed by absolute draw number, so segment
+    boundaries don't perturb the streams).
 
     Returns ``(final_positions, positions, stats_history, step_size,
     inverse_mass_matrix)``.
@@ -334,21 +394,8 @@ def sample_fused_adaptive(
         u0 = jax.device_put(u0, sharding)
         g0 = jax.device_put(g0, sharding)
 
-    warmup_key, sample_key = jax.random.split(rng_key)
-    (q, u, g), eps, imm = warmup_fused(
-        warmup_key, transition,
-        initial_positions.astype(jnp.float32), u0, g0,
-        num_warmup,
-        max_num_expansions=max_num_expansions,
-        is_mass_matrix_full=is_mass_matrix_full,
-        initial_step_size=initial_step_size,
-        target_acceptance_rate=target_acceptance_rate,
-        use_internal_prng=use_internal_prng,
-    )
-
-    def one(carry, inputs):
+    def _one_draw(carry, key, seed, eps, imm):
         q, u, g = carry
-        key, seed = inputs
         if use_internal_prng:
             qn, un, gn, stats = transition(
                 q, u, g, None, None, None, None, imm, eps, seed=seed
@@ -363,10 +410,129 @@ def sample_fused_adaptive(
         out = qn if collect_positions else None
         return (qn, un, gn), (out, stats)
 
-    key_seed, key_scan = jax.random.split(sample_key)
-    keys = jax.random.split(key_scan, num_samples)
-    seeds = derive_draw_seeds(key_seed, num_samples)
-    (qf, _, _), (positions, stats) = jax.lax.scan(
-        one, (q, u, g), (keys, seeds)
+    if not checkpoint_every:
+        warmup_key, sample_key = jax.random.split(rng_key)
+        (q, u, g), eps, imm = warmup_fused(
+            warmup_key, transition,
+            initial_positions.astype(jnp.float32), u0, g0,
+            num_warmup,
+            max_num_expansions=max_num_expansions,
+            is_mass_matrix_full=is_mass_matrix_full,
+            initial_step_size=initial_step_size,
+            target_acceptance_rate=target_acceptance_rate,
+            use_internal_prng=use_internal_prng,
+        )
+
+        key_seed, key_scan = jax.random.split(sample_key)
+        keys = jax.random.split(key_scan, num_samples)
+        seeds = derive_draw_seeds(key_seed, num_samples)
+        (qf, _, _), (positions, stats) = jax.lax.scan(
+            lambda c, inp: _one_draw(c, inp[0], inp[1], eps, imm),
+            (q, u, g), (keys, seeds),
+        )
+        return qf, positions, stats, eps, imm
+
+    # ---- checkpointed path: reuse the segmented driver machinery ----
+    if checkpoint_path is None:
+        raise ValueError("checkpoint_every requires checkpoint_path")
+    from aehmc_tpu.parallel.pooled import _checkpointed_run
+
+    def _seed_base(sample_key):
+        # one base for the sampling phase; per-draw seeds are base +
+        # ABSOLUTE draw index * stride, so segments replay exactly
+        return jax.random.randint(
+            jax.random.fold_in(sample_key, 7), (), 0,
+            jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+        )
+
+    w_init, w_segment, w_finish = warmup_fused_hooks(
+        transition,
+        num_chains,
+        dim,
+        num_warmup,
+        max_num_expansions=max_num_expansions,
+        is_mass_matrix_full=is_mass_matrix_full,
+        initial_step_size=initial_step_size,
+        target_acceptance_rate=target_acceptance_rate,
+        use_internal_prng=use_internal_prng,
     )
-    return qf, positions, stats, eps, imm
+
+    def warmup_program(key, positions):
+        warmup_key, sample_key = jax.random.split(key)
+        (q, u, g), eps, imm = warmup_fused(
+            warmup_key, transition,
+            positions.astype(jnp.float32), u0, g0,
+            num_warmup,
+            max_num_expansions=max_num_expansions,
+            is_mass_matrix_full=is_mass_matrix_full,
+            initial_step_size=initial_step_size,
+            target_acceptance_rate=target_acceptance_rate,
+            use_internal_prng=use_internal_prng,
+        )
+        return (q, u, g), (eps, imm, _seed_base(sample_key)), sample_key
+
+    def wh_init(key, positions):
+        warmup_key, sample_key = jax.random.split(key)
+        wcarry = w_init(
+            warmup_key, (positions.astype(jnp.float32), u0, g0)
+        )
+        return (wcarry, _seed_base(sample_key)), sample_key
+
+    def wh_segment(wc, steps):
+        wcarry, base = wc
+        wcarry, _ = w_segment(wcarry, steps)
+        return (wcarry, base)
+
+    def wh_finish(wc):
+        wcarry, base = wc
+        (q, u, g), (eps, imm) = w_finish(wcarry)
+        return (q, u, g), (eps, imm, base)
+
+    def wh_place(wc):
+        if mesh is None:
+            return wc
+        from aehmc_tpu.parallel.mesh import chain_sharding, replicated
+
+        (qug, ast, keys, seeds), base = wc
+        rep = replicated(mesh)
+        return (
+            (
+                jax.device_put(qug, chain_sharding(mesh)),
+                jax.device_put(ast, rep),
+                jax.device_put(keys, rep),
+                jax.device_put(seeds, rep),
+            ),
+            jax.device_put(base, rep),
+        )
+
+    def sample_segment(carry, keys, seg_start, extras):
+        eps, imm, base = extras
+        idxs = seg_start + jnp.arange(keys.shape[0], dtype=jnp.int32)
+        seeds = base + idxs * DRAW_SEED_STRIDE
+        return jax.lax.scan(
+            lambda c, inp: _one_draw(c, inp[0], inp[1], eps, imm),
+            carry, (keys, seeds),
+        )
+
+    def build_result(carry, extras, outs):
+        eps, imm, _ = extras
+        positions, stats = outs
+        return carry[0], positions, stats, eps, imm
+
+    return _checkpointed_run(
+        rng_key,
+        initial_positions,
+        warmup_program,
+        sample_segment,
+        build_result,
+        num_samples,
+        checkpoint_every,
+        checkpoint_path,
+        resume,
+        collect_positions,
+        mesh,
+        _crash_after_segments,
+        warmup_hooks=(wh_init, wh_segment, wh_finish, wh_place),
+        num_warmup=num_warmup,
+        _crash_after_warmup_segments=_crash_after_warmup_segments,
+    )

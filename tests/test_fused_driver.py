@@ -105,6 +105,50 @@ def test_adaptive_driver_dense_self_tuning():
     assert abs(corr - rho) < 0.12
 
 
+@pytest.mark.parametrize("crash", ["warmup", "sampling"])
+def test_adaptive_driver_checkpoint_resume(tmp_path, crash):
+    """The megakernel driver checkpoints BOTH phases: a run killed
+    mid-warmup or mid-sampling resumes from the last snapshot and
+    reproduces the uninterrupted checkpointed run bit for bit."""
+    chains, dim = 8, VAR.size
+    q0 = jax.random.normal(
+        jax.random.PRNGKey(4), (chains, dim), jnp.float32
+    ) * jnp.sqrt(jnp.asarray(VAR))
+    key = jax.random.PRNGKey(5)
+    common = dict(
+        num_samples=12,
+        num_warmup=15,
+        potential_fn_t=_potential_t,
+        max_num_expansions=3,
+        block_chains=chains,
+        use_internal_prng=False,
+        interpret=True,
+        checkpoint_every=5,
+    )
+    args = (key, None, [VAR.reshape(-1, 1)], q0)
+
+    full = sample_fused_adaptive(
+        *args, checkpoint_path=str(tmp_path / "full.npz"), **common
+    )
+
+    path = str(tmp_path / "run.npz")
+    crash_kw = (
+        {"_crash_after_warmup_segments": 1}
+        if crash == "warmup"
+        else {"_crash_after_segments": 1}
+    )
+    crashed = sample_fused_adaptive(
+        *args, checkpoint_path=path, **crash_kw, **common
+    )
+    assert crashed is None
+    resumed = sample_fused_adaptive(
+        *args, checkpoint_path=path, resume=True, **common
+    )
+
+    for a, b in zip(full, resumed):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_adaptive_driver_dense_requires_transposed_kernel():
     with pytest.raises(ValueError, match="transposed"):
         sample_fused_adaptive(
