@@ -26,7 +26,9 @@ from aehmc_tpu.ops.nuts_fused import (  # noqa: F401
 )
 from aehmc_tpu.ops.fused_driver import (  # noqa: F401
     sample_fused_adaptive,
+    shard_fused_transition,
     warmup_fused,
+    warmup_fused_hooks,
 )
 from aehmc_tpu.ops.nuts_fused_small import (  # noqa: F401
     make_fused_nuts_transition_small,
