@@ -198,6 +198,7 @@ def sample_sharded(
     search_initial_step_size: bool = True,
     mesh=None,
     collect_positions: bool = True,
+    meads_recompute_every: int = 1,
     checkpoint_every: int = 0,
     checkpoint_path: Optional[str] = None,
     resume: bool = False,
@@ -217,6 +218,8 @@ def sample_sharded(
     - ``"meads"``: tuning-free adaptive GHMC with cross-fold hyperparameter
       estimation (see :mod:`aehmc_tpu.meads`); ``num_warmup`` is burn-in
       only — adaptation is part of the kernel and continues while sampling.
+      ``meads_recompute_every=k`` amortizes the eigenvalue estimation over
+      k-draw segments (~3x throughput at 10k chains, see PERF.md).
 
     **Checkpoint / resume** (new capability vs the reference, SURVEY.md §5):
     pass ``checkpoint_every=N, checkpoint_path="run.npz"`` to snapshot the
@@ -256,6 +259,7 @@ def sample_sharded(
                     num_warmup,
                     divergence_threshold=divergence_threshold,
                     collect_positions=collect_positions,
+                    recompute_every=meads_recompute_every,
                 )
                 return SampleResult(
                     final_state=final_states,
@@ -272,7 +276,9 @@ def sample_sharded(
         # Checkpointed MEADS: the segment carry is the MeadsCarry (chain
         # states + hyperparameters in force + iteration counter).
         meads_kernel = meads.new_kernel(
-            logprob_fn, divergence_threshold=divergence_threshold
+            logprob_fn,
+            divergence_threshold=divergence_threshold,
+            recompute_every=meads_recompute_every,
         )
 
         def meads_burn_step(carry, k):
