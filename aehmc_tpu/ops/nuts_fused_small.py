@@ -563,6 +563,7 @@ def sample_fused_small(
     block_chains: int = 1024,
     collect_positions: bool = True,
     internal_prng: bool = True,
+    sort_by_depth: bool = False,
     _interpret: bool = False,
 ):
     """Sampling loop over the transposed small-dim transition.
@@ -572,6 +573,20 @@ def sample_fused_small(
     in-kernel PRNG; one ``lax.scan`` over draws.  Returns
     ``(final_positions, positions, stats_history)`` with the same stats
     columns as :func:`aehmc_tpu.ops.nuts_fused.sample_fused`.
+
+    ``sort_by_depth`` enables DEPTH-SORTED BLOCK SCHEDULING: before each
+    transition the chains are permuted by the previous draw's tree depth
+    (outputs are unpermuted, so per-chain draw series are unchanged for
+    ESS purposes).  The kernel's early exit is block-granular — a block
+    runs until its DEEPEST chain stops — so on posteriors with
+    heavy-tailed, autocorrelated depths (Neal's funnel: lag-1 depth
+    correlation ~0.92) grouping similar depths into the same block cuts
+    the masked-lane waste from ~20x the useful leaf work to ~5.6x
+    (measured; the sorted-by-current-depth oracle is 3.3x).  Chains are
+    exchangeable and the per-draw randomness is fresh and iid across
+    slots, so the permutation does not change the sampled distribution —
+    with in-kernel PRNG a chain simply consumes the stream of the slot
+    it is parked in that draw.
     """
     num_chains, dim = initial_positions.shape
     lmax = 2**max_num_expansions
@@ -604,26 +619,43 @@ def sample_fused_small(
     u0 = u0.reshape(num_chains, 1)
     g0 = g0_t.T
 
+    depth0 = jnp.zeros((num_chains,), jnp.float32)
+
+    def _maybe_sort(q, u, g, depth):
+        if not sort_by_depth:
+            return (q, u, g), None
+        order = jnp.argsort(depth)
+        return (q[order], u[order], g[order]), jnp.argsort(order)
+
+    def _unsort(inv, *arrays):
+        if inv is None:
+            return arrays
+        return tuple(a[inv] for a in arrays)
+
     if internal_prng:
 
         def one_seeded(carry, seed):
-            q, u, g = carry
+            q, u, g, depth = carry
+            (q, u, g), inv = _maybe_sort(q, u, g, depth)
             qn, un, gn, stats = transition(
                 q, u, g, None, None, None, None, inverse_mass, step_size,
                 seed=seed,
             )
+            qn, un, gn, stats = _unsort(inv, qn, un, gn, stats)
             out = qn if collect_positions else None
-            return (qn, un, gn), (out, stats)
+            return (qn, un, gn, stats[:, 2]), (out, stats)
 
         seeds = derive_draw_seeds(rng_key, num_samples)
-        (qf, _, _), (positions, stats) = jax.lax.scan(
-            one_seeded, (initial_positions.astype(jnp.float32), u0, g0),
+        (qf, _, _, _), (positions, stats) = jax.lax.scan(
+            one_seeded,
+            (initial_positions.astype(jnp.float32), u0, g0, depth0),
             seeds,
         )
         return qf, positions, stats
 
     def one(carry, k):
-        q, u, g = carry
+        q, u, g, depth = carry
+        (q, u, g), inv = _maybe_sort(q, u, g, depth)
         k1, k2, k3, k4 = jax.random.split(k, 4)
         z = jax.random.normal(k1, (num_chains, dim), jnp.float32)
         p = z @ mass_sqrt.T if mass_sqrt.ndim == 2 else mass_sqrt * z
@@ -637,11 +669,12 @@ def sample_fused_small(
         qn, un, gn, stats = transition(
             q, u, g, p, dirs, ub, ul, inverse_mass, step_size
         )
+        qn, un, gn, stats = _unsort(inv, qn, un, gn, stats)
         out = qn if collect_positions else None
-        return (qn, un, gn), (out, stats)
+        return (qn, un, gn, stats[:, 2]), (out, stats)
 
     keys = jax.random.split(rng_key, num_samples)
-    (qf, _, _), (positions, stats) = jax.lax.scan(
-        one, (initial_positions.astype(jnp.float32), u0, g0), keys
+    (qf, _, _, _), (positions, stats) = jax.lax.scan(
+        one, (initial_positions.astype(jnp.float32), u0, g0, depth0), keys
     )
     return qf, positions, stats

@@ -601,14 +601,23 @@ def funnel_fused():
     eps = jnp.asarray(0.2, jnp.float32)
     imm = jnp.ones(dim, jnp.float32)
     dummy = jnp.zeros((1, 1), jnp.float32)
-    for num_chains, blk in ((512, 512), (2048, 1024), (8192, 1024)):
+    for num_chains, blk, sort in (
+        (512, 512, False),
+        (2048, 1024, False),
+        (8192, 1024, False),
+        # depth-sorted block scheduling: permute chains into blocks by
+        # the previous draw's tree depth (lag-1 depth corr ~0.92 on the
+        # funnel) — 2.4x measured (see PERF.md round 3)
+        (8192, 1024, True),
+    ):
         q0 = 0.1 * jax.random.normal(
             jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
         )
         f = jax.jit(
-            lambda k, q0=q0, blk=blk: sample_fused_small(
+            lambda k, q0=q0, blk=blk, sort=sort: sample_fused_small(
                 k, potential_t, [dummy], q0, 200, eps, imm,
                 max_num_expansions=10, block_chains=blk,
+                sort_by_depth=sort,
             )
         )
         out = f(jax.random.PRNGKey(1))
@@ -617,13 +626,16 @@ def funnel_fused():
         stats = np.asarray(out[2])
         evals = int(stats[:, :, 3].sum())
         ess_sec, min_ess, capped = _ess_per_sec(out[1], dt)
+        name = f"funnel_fused_smallk_{num_chains}" + (
+            "_depth_sorted" if sort else ""
+        )
         log(
-            f"funnel_fused {num_chains} chains: accept "
+            f"{name}: accept "
             f"{stats[:, :, 1].mean():.3f}, div {int(stats[:, :, 4].sum())}, "
             f"min ESS {min_ess:.0f}"
         )
         _emit(
-            f"funnel_fused_smallk_{num_chains}",
+            name,
             evals / dt,
             "grad_evals/s",
             {
@@ -632,6 +644,7 @@ def funnel_fused():
                 "ess_capped": capped,
                 "divergences": int(stats[:, :, 4].sum()),
                 "chains": num_chains,
+                "sort_by_depth": sort,
                 "runs": TIMED_RUNS,
                 "stat": "median",
             },

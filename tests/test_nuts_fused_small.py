@@ -184,6 +184,43 @@ def test_small_kernel_dense_metric_matches_oracle(eps):
     assert agree >= chains - 1, (eps, agree)
 
 
+def test_sample_fused_small_sort_by_depth_moments():
+    """Depth-sorted block scheduling permutes chains into blocks by the
+    previous draw's tree depth (and unpermutes the outputs).  Chains are
+    exchangeable and the per-draw randomness is fresh, so the sampled
+    distribution is unchanged — gate posterior moments and per-seed
+    determinism."""
+    from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
+
+    dim, chains, draws = 4, 32, 150
+    var = np.linspace(0.5, 2.0, dim).astype(np.float32)
+
+    def potential_t(q_t, var_col):
+        return 0.5 * jnp.sum(q_t * q_t / var_col, axis=0)
+
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (chains, dim), jnp.float32
+    )
+    run = jax.jit(
+        lambda k: sample_fused_small(
+            k, potential_t, [jnp.asarray(var).reshape(-1, 1)], q0, draws,
+            jnp.asarray(0.6, jnp.float32), jnp.ones(dim, jnp.float32),
+            max_num_expansions=4, block_chains=8,
+            internal_prng=False, sort_by_depth=True, _interpret=True,
+        )
+    )
+    _, pos, stats = run(jax.random.PRNGKey(1))
+    stats = np.asarray(stats)
+    assert stats[:, :, 1].mean() > 0.5
+    assert stats[:, :, 4].sum() == 0
+    flat = np.asarray(pos)[50:].reshape(-1, dim)
+    assert np.all(np.abs(flat.mean(axis=0)) < 0.2)
+    np.testing.assert_allclose(flat.var(axis=0), var, rtol=0.25)
+    # bitwise determinism per seed
+    _, pos2, _ = run(jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(pos), np.asarray(pos2))
+
+
 def test_small_kernel_dense_metric_external_prng_moments():
     """Dense metric + EXTERNAL randomness: the momentum must be drawn
     from N(0, M) via L^{-T} z with L = chol(M^{-1}) (ref
