@@ -22,5 +22,6 @@ from aehmc_tpu.models.regression import (  # noqa: F401
     linear_regression,
     logistic_regression,
     logistic_regression_data,
+    logistic_regression_pg_t,
     logistic_regression_t,
 )

@@ -33,7 +33,10 @@ from aehmc_tpu.ops.nuts_fused import (
     derive_draw_seeds,
     make_fused_nuts_transition,
 )
-from aehmc_tpu.ops.nuts_fused_small import make_fused_nuts_transition_small
+from aehmc_tpu.ops.nuts_fused_small import (
+    _as_data_row,
+    make_fused_nuts_transition_small,
+)
 from aehmc_tpu.types import ChainState
 from aehmc_tpu.window_adaptation import window_adaptation
 
@@ -294,6 +297,7 @@ def sample_fused_adaptive(
     num_warmup: int = 400,
     *,
     potential_fn_t: Callable = None,
+    potential_and_grad_t: Callable = None,
     max_num_expansions: int = 6,
     divergence_threshold: float = 1000.0,
     block_chains: int = None,
@@ -317,7 +321,11 @@ def sample_fused_adaptive(
     TRANSPOSED contract, see
     :func:`aehmc_tpu.ops.nuts_fused_small.make_fused_nuts_transition_small`)
     to run through the chains-in-lanes small-dim kernel instead — the
-    right choice below ~64 dims (PERF.md).  ``is_mass_matrix_full``
+    right choice below ~64 dims (PERF.md).  ``potential_and_grad_t``
+    additionally replaces the in-kernel vjp with a hand-written fused
+    potential+gradient (~30% on the 100-d logistic flagship — the vjp
+    residual bookkeeping, not matmul precision, is the overhead;
+    PERF.md round 3).  ``is_mass_matrix_full``
     self-tunes a DENSE inverse mass matrix end-to-end in-kernel
     (transposed kernel only).  Pass ``mesh`` (a ``jax.sharding.Mesh``)
     to shard the chain axis across devices: the kernel runs per-device
@@ -357,14 +365,20 @@ def sample_fused_adaptive(
             divergence_threshold=divergence_threshold,
             block_chains=block_chains,
             interpret=interpret,
+            potential_and_grad_t=potential_and_grad_t,
         )
-        rows = [jnp.asarray(d, jnp.float32) for d in data]
-        rows = [d.reshape(1, -1) if d.ndim < 2 else d for d in rows]
-        u0, pull = jax.vjp(
-            lambda qq: potential_fn_t(qq, *rows),
-            initial_positions.T.astype(jnp.float32),
-        )
-        (g0_t,) = pull(jnp.ones_like(u0))
+        rows = [_as_data_row(d) for d in data]
+        if potential_and_grad_t is not None:
+            u0, g0_t = potential_and_grad_t(
+                initial_positions.T.astype(jnp.float32), *rows
+            )
+            u0 = u0.reshape(-1)
+        else:
+            u0, pull = jax.vjp(
+                lambda qq: potential_fn_t(qq, *rows),
+                initial_positions.T.astype(jnp.float32),
+            )
+            (g0_t,) = pull(jnp.ones_like(u0))
         u0 = u0.reshape(num_chains, 1)
         g0 = g0_t.T
     else:

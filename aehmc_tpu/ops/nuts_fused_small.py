@@ -55,6 +55,16 @@ from aehmc_tpu.ops.nuts_fused import (
 )
 
 
+def _as_data_row(d):
+    """Kernel data input: keep the caller's dtype (bf16 operands pass
+    straight through for mixed-precision matmuls), downcast f64, and lift
+    1-D arrays to (1, n) rows (Mosaic wants >=2-D VMEM blocks)."""
+    d = jnp.asarray(d)
+    if d.dtype == jnp.float64:
+        d = d.astype(jnp.float32)
+    return d.reshape(1, -1) if d.ndim < 2 else d
+
+
 def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
                        uleaf_ref, apply_im, eps, raw_pot_grad_t, ck_p, ck_s,
                        *, max_exp: int, divergence_threshold: float):
@@ -407,6 +417,7 @@ def make_fused_nuts_transition_small(
     divergence_threshold: float = 1000.0,
     block_chains: int = 1024,
     interpret: bool = False,
+    potential_and_grad_t: Callable = None,
 ) -> Callable:
     """GENERIC transposed-layout fused NUTS transition for small dims.
 
@@ -416,20 +427,34 @@ def make_fused_nuts_transition_small(
     the XLA boundary).  ``block_chains`` should be a multiple of 128
     (the chain axis rides the lanes).
 
+    ``potential_and_grad_t(q_t, *data) -> (u, g)``, when given, replaces
+    the in-kernel ``jax.vjp`` differentiation of ``potential_fn_t`` with
+    a hand-written fused potential+gradient — the hook for
+    mixed-precision matmul passes (bf16 operands, f32 accumulation; see
+    :func:`aehmc_tpu.models.regression.logistic_regression_pg_t`).  Data
+    arrays keep their dtype (pass bf16 operands directly; f64 is
+    downcast to f32).
+
     Returns ``transition(q, potential, grad, momentum, directions,
     u_bias, u_leaf, inverse_mass, step_size, seed=None)`` exactly like
     :func:`aehmc_tpu.ops.nuts_fused.make_fused_nuts_transition`.
     """
 
-    def pot_grad_builder_t(*data_vals):
-        def pot_grad_t(q_t):
-            u, pullback = jax.vjp(
-                lambda qq: potential_fn_t(qq, *data_vals), q_t
-            )
-            (g,) = pullback(jnp.ones_like(u))
-            return u, g
+    if potential_and_grad_t is None:
 
-        return pot_grad_t
+        def pot_grad_builder_t(*data_vals):
+            def pot_grad_t(q_t):
+                u, pullback = jax.vjp(
+                    lambda qq: potential_fn_t(qq, *data_vals), q_t
+                )
+                (g,) = pullback(jnp.ones_like(u))
+                return u, g
+
+            return pot_grad_t
+    else:
+
+        def pot_grad_builder_t(*data_vals):
+            return lambda q_t: potential_and_grad_t(q_t, *data_vals)
 
     def transition(q, potential, grad, momentum, directions, u_bias,
                    u_leaf, inverse_mass, step_size, seed=None):
@@ -442,10 +467,7 @@ def make_fused_nuts_transition_small(
         assert num_chains % blk == 0
         grid = (num_chains // blk,)
 
-        data_rows = [jnp.asarray(d, jnp.float32) for d in data]
-        data_rows = [
-            d.reshape(1, -1) if d.ndim < 2 else d for d in data_rows
-        ]
+        data_rows = [_as_data_row(d) for d in data]
         eps = jnp.asarray(step_size, jnp.float32).reshape(1)
         inverse_mass = jnp.asarray(inverse_mass, jnp.float32)
         dense_metric = inverse_mass.ndim == 2
@@ -564,6 +586,7 @@ def sample_fused_small(
     collect_positions: bool = True,
     internal_prng: bool = True,
     sort_by_depth: bool = False,
+    potential_and_grad_t: Callable = None,
     _interpret: bool = False,
 ):
     """Sampling loop over the transposed small-dim transition.
@@ -607,15 +630,22 @@ def sample_fused_small(
         divergence_threshold=divergence_threshold,
         block_chains=block_chains,
         interpret=_interpret,
+        potential_and_grad_t=potential_and_grad_t,
     )
 
-    rows = [jnp.asarray(d, jnp.float32) for d in data]
-    rows = [d.reshape(1, -1) if d.ndim < 2 else d for d in rows]
-    u0, pull = jax.vjp(
-        lambda qq: potential_fn_t(qq, *rows),
-        initial_positions.T.astype(jnp.float32),
-    )
-    (g0_t,) = pull(jnp.ones_like(u0))
+    rows = [_as_data_row(d) for d in data]
+    if potential_and_grad_t is not None:
+        # same ũ as the in-kernel path (mixed-precision passes included)
+        u0, g0_t = potential_and_grad_t(
+            initial_positions.T.astype(jnp.float32), *rows
+        )
+        u0 = u0.reshape(-1)
+    else:
+        u0, pull = jax.vjp(
+            lambda qq: potential_fn_t(qq, *rows),
+            initial_positions.T.astype(jnp.float32),
+        )
+        (g0_t,) = pull(jnp.ones_like(u0))
     u0 = u0.reshape(num_chains, 1)
     g0 = g0_t.T
 

@@ -60,6 +60,43 @@ def test_adaptive_driver_tunes_and_samples(layout):
     assert np.isfinite(np.asarray(pos)).all()
 
 
+def test_adaptive_driver_potential_and_grad_matches_vjp():
+    """The pre-differentiated (hand-written potential+grad) path through
+    the adaptive driver must reproduce the vjp path exactly at f32 —
+    identical tuned parameters and identical draws."""
+    chains, dim = 8, VAR.size
+    q0 = jax.random.normal(
+        jax.random.PRNGKey(0), (chains, dim), jnp.float32
+    ) * jnp.sqrt(jnp.asarray(VAR))
+
+    def _pg_t(q_t, var_col):
+        u = 0.5 * jnp.sum(q_t * q_t / var_col, axis=0, keepdims=True)
+        return u, q_t / var_col
+
+    kwargs = dict(
+        num_samples=30,
+        num_warmup=40,
+        max_num_expansions=4,
+        block_chains=chains,
+        use_internal_prng=False,
+        interpret=True,
+    )
+    out_vjp = sample_fused_adaptive(
+        jax.random.PRNGKey(1), None, [VAR.reshape(-1, 1)], q0,
+        potential_fn_t=_potential_t, **kwargs,
+    )
+    out_pg = sample_fused_adaptive(
+        jax.random.PRNGKey(1), None, [VAR.reshape(-1, 1)], q0,
+        potential_fn_t=_potential_t, potential_and_grad_t=_pg_t, **kwargs,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_vjp[3]), np.asarray(out_pg[3]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_vjp[1]), np.asarray(out_pg[1]), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_adaptive_driver_dense_self_tuning():
     """Dense-metric self-tuning end-to-end in-kernel (VERDICT #5): the
     window adaptation runs dense Welford + Stan shrinkage and feeds the

@@ -221,6 +221,130 @@ def test_sample_fused_small_sort_by_depth_moments():
     np.testing.assert_array_equal(np.asarray(pos), np.asarray(pos2))
 
 
+def test_small_kernel_potential_and_grad_matches_vjp():
+    """A hand-written ``potential_and_grad_t`` doing the same f32 math as
+    the potential must reproduce the in-kernel-vjp path: identical
+    decisions, positions to round-off.  This is the plumbing under the
+    mixed-precision (bf16-pass) production path."""
+    eps, max_exp = 0.4, 4
+    var, im, q, p, dirs, ub, ul = _case(7, eps, max_exp)
+    chains = q.shape[0]
+
+    def potential_t(q_t, var_col):
+        return 0.5 * jnp.sum(q_t * q_t / var_col, axis=0)
+
+    def potential_and_grad_t(q_t, var_col):
+        u = 0.5 * jnp.sum(q_t * q_t / var_col, axis=0, keepdims=True)
+        return u, q_t / var_col
+
+    data = [jnp.asarray(var).reshape(-1, 1)]
+    vjp_path = make_fused_nuts_transition_small(
+        potential_t, data,
+        max_num_expansions=max_exp, block_chains=chains, interpret=True,
+    )
+    pg_path = make_fused_nuts_transition_small(
+        potential_t, data,
+        max_num_expansions=max_exp, block_chains=chains, interpret=True,
+        potential_and_grad_t=potential_and_grad_t,
+    )
+    U = (0.5 * np.sum(q.astype(np.float64) ** 2 / var, axis=-1)).astype(
+        np.float32
+    )
+    G = (q.astype(np.float64) / var).astype(np.float32)
+    args = (
+        jnp.asarray(q), jnp.asarray(U), jnp.asarray(G), jnp.asarray(p),
+        jnp.asarray(dirs), jnp.asarray(ub), jnp.asarray(ul),
+        jnp.asarray(im), jnp.asarray(eps, jnp.float32),
+    )
+    q_a, _, _, s_a = vjp_path(*args)
+    q_b, _, _, s_b = pg_path(*args)
+    np.testing.assert_array_equal(
+        np.asarray(s_a)[:, 2:6], np.asarray(s_b)[:, 2:6]
+    )
+    np.testing.assert_allclose(
+        np.asarray(q_a), np.asarray(q_b), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_logistic_pg_t_f32_matches_vjp_path():
+    """logistic_regression_pg_t at f32 == the vjp differentiation of
+    logistic_regression_t: same posterior, same randomness, identical
+    decisions."""
+    from aehmc_tpu.models import logistic_regression_pg_t, logistic_regression_t
+    from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
+
+    dim, chains, draws = 8, 16, 25
+    pot_t, data_t, _ = logistic_regression_t(dim=dim, num_points=100)
+    pg_pot_t, pg, data_pg, _ = logistic_regression_pg_t(
+        dim=dim, num_points=100, matmul_dtype=jnp.float32
+    )
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (chains, dim), jnp.float32
+    )
+    common = dict(
+        num_samples=draws,
+        step_size=jnp.asarray(0.35, jnp.float32),
+        inverse_mass=jnp.ones(dim, jnp.float32),
+        max_num_expansions=4, block_chains=chains,
+        internal_prng=False, _interpret=True,
+    )
+    _, pos_a, stats_a = sample_fused_small(
+        jax.random.PRNGKey(1), pot_t, list(data_t), q0, **common
+    )
+    _, pos_b, stats_b = sample_fused_small(
+        jax.random.PRNGKey(1), pg_pot_t, list(data_pg), q0,
+        potential_and_grad_t=pg, **common
+    )
+    np.testing.assert_array_equal(
+        np.asarray(stats_a)[:, :, 2:6], np.asarray(stats_b)[:, :, 2:6]
+    )
+    np.testing.assert_allclose(
+        np.asarray(pos_a), np.asarray(pos_b), rtol=5e-5, atol=5e-5
+    )
+
+
+def test_logistic_pg_t_bf16_moments_match_f32():
+    """bf16 matmul passes (f32 accumulation, f32 energies) must leave the
+    sampled posterior statistically unchanged — the MH correction targets
+    the deterministically-rounded ũ, which is within bf16 round-off of
+    u (config.py dtype policy).  Gate first/second moments against the
+    f32 vjp path on the same logistic posterior."""
+    from aehmc_tpu.models import logistic_regression_pg_t, logistic_regression_t
+    from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
+
+    dim, chains, draws = 8, 64, 120
+    pot_t, data_t, _ = logistic_regression_t(dim=dim, num_points=100)
+    pg_pot_t, pg, data_pg, _ = logistic_regression_pg_t(
+        dim=dim, num_points=100, matmul_dtype=jnp.bfloat16
+    )
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (chains, dim), jnp.float32
+    )
+    common = dict(
+        num_samples=draws,
+        step_size=jnp.asarray(0.35, jnp.float32),
+        inverse_mass=jnp.ones(dim, jnp.float32),
+        max_num_expansions=4, block_chains=chains,
+        internal_prng=False, _interpret=True,
+    )
+    _, pos_a, stats_a = sample_fused_small(
+        jax.random.PRNGKey(1), pot_t, list(data_t), q0, **common
+    )
+    _, pos_b, stats_b = sample_fused_small(
+        jax.random.PRNGKey(1), pg_pot_t, list(data_pg), q0,
+        potential_and_grad_t=pg, **common
+    )
+    sa, sb = np.asarray(stats_a), np.asarray(stats_b)
+    # comparable acceptance and no divergences under rounding
+    assert sb[:, :, 1].mean() > 0.6
+    assert abs(sa[:, :, 1].mean() - sb[:, :, 1].mean()) < 0.05
+    assert sb[:, :, 4].sum() == 0
+    fa = np.asarray(pos_a)[40:].reshape(-1, dim)
+    fb = np.asarray(pos_b)[40:].reshape(-1, dim)
+    np.testing.assert_allclose(fa.mean(axis=0), fb.mean(axis=0), atol=0.08)
+    np.testing.assert_allclose(fa.var(axis=0), fb.var(axis=0), rtol=0.3)
+
+
 def test_small_kernel_dense_metric_external_prng_moments():
     """Dense metric + EXTERNAL randomness: the momentum must be drawn
     from N(0, M) via L^{-T} z with L = chol(M^{-1}) (ref
