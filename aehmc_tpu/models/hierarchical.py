@@ -111,5 +111,82 @@ def eight_schools_t() -> Tuple[Callable, tuple, jnp.ndarray]:
     return potential_t, data, jnp.zeros(10)
 
 
+def neals_funnel_pg_t(dim: int = 10):
+    """Neal's funnel as a FUSED potential+gradient builder for the
+    transposed megakernel's pre-differentiated path
+    (``potential_and_grad_t=``): the hand-written gradient skips the
+    in-kernel ``jax.vjp`` residual bookkeeping (PERF.md round 3).
+
+    U = (v/3)²/2 + Σ x²e⁻ᵛ/2 + (d−1)v/2;  ∂U/∂v = v/9 − Σx²e⁻ᵛ/2 +
+    (d−1)/2,  ∂U/∂x = x·e⁻ᵛ.
+
+    Returns ``(potential_t, potential_and_grad_t, data,
+    example_position)`` with a (1, 1) dummy data row (Pallas kernels
+    take data as VMEM inputs; the funnel has none).
+    """
+
+    def potential_t(q_t, _dummy):
+        v = q_t[0:1, :]
+        x = q_t[1:, :]
+        return (
+            0.5 * (v / 3.0) ** 2
+            + jnp.sum(0.5 * x * x * jnp.exp(-v), axis=0, keepdims=True)
+            + (dim - 1) * 0.5 * v
+        )[0]
+
+    def potential_and_grad_t(q_t, _dummy):
+        v = q_t[0:1, :]
+        x = q_t[1:, :]
+        e = jnp.exp(-v)
+        sumsq = jnp.sum(x * x, axis=0, keepdims=True)
+        u = 0.5 * (v / 3.0) ** 2 + 0.5 * sumsq * e + (dim - 1) * 0.5 * v
+        gv = v / 9.0 - 0.5 * sumsq * e + (dim - 1) * 0.5
+        gx = x * e
+        return u, jnp.concatenate([gv, gx], axis=0)
+
+    data = (jnp.zeros((1, 1), jnp.float32),)
+    return potential_t, potential_and_grad_t, data, jnp.zeros(dim)
+
+
+def eight_schools_pg_t():
+    """Non-centered eight schools as a FUSED potential+gradient builder
+    (pre-differentiated path of the transposed megakernel); same density
+    and data layout as :func:`eight_schools_t`.
+
+    With θ = μ + τ·θ_raw, τ = e^{log τ}, r = (θ − y)/σ²:
+    ∂U/∂μ = μ/25 + Σr;  ∂U/∂logτ = logτ/25 − 1 + τ·Σ(r·θ_raw);
+    ∂U/∂θ_raw = θ_raw + τ·r.
+    """
+    potential_t, data, example = eight_schools_t()
+
+    def potential_and_grad_t(q_t, y_col, sig2_col):
+        mu = q_t[0:1, :]
+        log_tau = q_t[1:2, :]
+        theta_raw = q_t[2:, :]
+        tau = jnp.exp(log_tau)
+        theta = mu + tau * theta_raw
+        resid = (theta - y_col) / sig2_col
+        u = (
+            0.5 * (mu / 5.0) ** 2
+            + 0.5 * (log_tau / 5.0) ** 2
+            - log_tau
+            + jnp.sum(0.5 * theta_raw * theta_raw, axis=0, keepdims=True)
+            + jnp.sum(
+                0.5 * (y_col - theta) ** 2 / sig2_col, axis=0,
+                keepdims=True,
+            )
+        )
+        g_mu = mu / 25.0 + jnp.sum(resid, axis=0, keepdims=True)
+        g_lt = (
+            log_tau / 25.0
+            - 1.0
+            + tau * jnp.sum(resid * theta_raw, axis=0, keepdims=True)
+        )
+        g_tr = theta_raw + tau * resid
+        return u, jnp.concatenate([g_mu, g_lt, g_tr], axis=0)
+
+    return potential_t, potential_and_grad_t, data, example
+
+
 __all__ = ["neals_funnel", "eight_schools", "neals_funnel_t",
-           "eight_schools_t"]
+           "eight_schools_t", "neals_funnel_pg_t", "eight_schools_pg_t"]

@@ -306,6 +306,7 @@ def sample_fused_adaptive(
     target_acceptance_rate: float = 0.8,
     collect_positions: bool = True,
     use_internal_prng: bool = True,
+    sort_by_depth: bool = False,
     interpret: bool = False,
     mesh=None,
     checkpoint_every: int = 0,
@@ -327,7 +328,12 @@ def sample_fused_adaptive(
     residual bookkeeping, not matmul precision, is the overhead;
     PERF.md round 3).  ``is_mass_matrix_full``
     self-tunes a DENSE inverse mass matrix end-to-end in-kernel
-    (transposed kernel only).  Pass ``mesh`` (a ``jax.sharding.Mesh``)
+    (transposed kernel only).  ``sort_by_depth`` applies depth-sorted
+    block scheduling to the sampling phase (see
+    :func:`aehmc_tpu.ops.nuts_fused_small.sample_fused_small`; ~2.4x on
+    Neal's funnel) — the previous draw's tree depth travels in the scan
+    carry (and in checkpoints, so resume stays bitwise).  Pass ``mesh``
+    (a ``jax.sharding.Mesh``)
     to shard the chain axis across devices: the kernel runs per-device
     under ``shard_map`` while the pooled-adaptation reductions cross
     devices as ICI collectives (:func:`shard_fused_transition`).
@@ -409,7 +415,16 @@ def sample_fused_adaptive(
         g0 = jax.device_put(g0, sharding)
 
     def _one_draw(carry, key, seed, eps, imm):
-        q, u, g = carry
+        q, u, g, depth = carry
+        if sort_by_depth:
+            # depth-sorted block scheduling (see sample_fused_small):
+            # group similar previous-draw tree depths into the same
+            # kernel block; outputs are unpermuted so per-chain draw
+            # series are intact.  argsort is stable, so the permutation
+            # (and the sampled bits) are mesh-shape invariant.
+            order = jnp.argsort(depth)
+            inv = jnp.argsort(order)
+            q, u, g = q[order], u[order], g[order]
         if use_internal_prng:
             qn, un, gn, stats = transition(
                 q, u, g, None, None, None, None, imm, eps, seed=seed
@@ -421,8 +436,16 @@ def sample_fused_adaptive(
             qn, un, gn, stats = transition(
                 q, u, g, p, dirs, ub, ul, imm, eps
             )
+        if sort_by_depth:
+            qn, un, gn, stats = qn[inv], un[inv], gn[inv], stats[inv]
         out = qn if collect_positions else None
-        return (qn, un, gn), (out, stats)
+        return (qn, un, gn, stats[:, 2]), (out, stats)
+
+    depth0 = jnp.zeros((num_chains,), jnp.float32)
+    if mesh is not None:
+        from aehmc_tpu.parallel.mesh import chain_sharding
+
+        depth0 = jax.device_put(depth0, chain_sharding(mesh))
 
     if not checkpoint_every:
         warmup_key, sample_key = jax.random.split(rng_key)
@@ -440,9 +463,9 @@ def sample_fused_adaptive(
         key_seed, key_scan = jax.random.split(sample_key)
         keys = jax.random.split(key_scan, num_samples)
         seeds = derive_draw_seeds(key_seed, num_samples)
-        (qf, _, _), (positions, stats) = jax.lax.scan(
+        (qf, _, _, _), (positions, stats) = jax.lax.scan(
             lambda c, inp: _one_draw(c, inp[0], inp[1], eps, imm),
-            (q, u, g), (keys, seeds),
+            (q, u, g, depth0), (keys, seeds),
         )
         return qf, positions, stats, eps, imm
 
@@ -483,7 +506,11 @@ def sample_fused_adaptive(
             target_acceptance_rate=target_acceptance_rate,
             use_internal_prng=use_internal_prng,
         )
-        return (q, u, g), (eps, imm, _seed_base(sample_key)), sample_key
+        return (
+            (q, u, g, depth0),
+            (eps, imm, _seed_base(sample_key)),
+            sample_key,
+        )
 
     def wh_init(key, positions):
         warmup_key, sample_key = jax.random.split(key)
@@ -500,7 +527,7 @@ def sample_fused_adaptive(
     def wh_finish(wc):
         wcarry, base = wc
         (q, u, g), (eps, imm) = w_finish(wcarry)
-        return (q, u, g), (eps, imm, base)
+        return (q, u, g, depth0), (eps, imm, base)
 
     def wh_place(wc):
         if mesh is None:

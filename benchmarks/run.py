@@ -3,9 +3,10 @@
 Run:  python benchmarks/run.py [config ...]
 Configs: readme_nuts, linreg_warmup, mvn25_dense, funnel, logistic_10k,
 chees_10k, meads_10k, meads_10k_amortized, nuts_fused_10k,
-nuts_fused_generic_10k, nuts_fused_t_10k, funnel_fused,
-eight_schools_fused, mvn25_fused, mvn25_dense_fused_adaptive,
-nuts_fused_adaptive_10k, flagship_end_to_end, all
+nuts_fused_generic_10k, nuts_fused_t_10k, nuts_fused_pg_10k,
+funnel_fused, funnel_fused_adaptive, eight_schools_fused, mvn25_fused,
+mvn25_dense_fused_adaptive, nuts_fused_adaptive_10k,
+flagship_end_to_end, tpu_gates, all
 (the *fused* configs need a real TPU).
 
 Each prints one JSON line per config (stdout); narration on stderr.
@@ -651,6 +652,64 @@ def funnel_fused():
         )
 
 
+def funnel_fused_adaptive():
+    """Neal's funnel END-TO-END through the one-call megakernel driver
+    with depth-sorted block scheduling in the sampling phase (round 3):
+    self-tuning warmup + sorted sampling composed, on the
+    pre-differentiated (hand-written grad) path.  8192 chains, the
+    heavy-tailed-depth posterior where sorting pays 2.4x."""
+    from aehmc_tpu.models import neals_funnel_pg_t
+    from aehmc_tpu.ops.fused_driver import sample_fused_adaptive
+
+    dim, num_chains = 10, 8192
+    num_warmup, num_draws = 300, 200
+    potential_t, pg, data, _ = neals_funnel_pg_t(dim=dim)
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
+    )
+    for sort in (False, True):
+        f = jax.jit(
+            lambda k, sort=sort: sample_fused_adaptive(
+                k, None, list(data), q0, num_draws, num_warmup,
+                potential_fn_t=potential_t, potential_and_grad_t=pg,
+                max_num_expansions=10,
+                block_chains=1024, target_acceptance_rate=0.85,
+                sort_by_depth=sort,
+            )
+        )
+        out = f(jax.random.PRNGKey(1))
+        jax.block_until_ready(out[1])
+        dt, out = _median_time(lambda r: f(jax.random.PRNGKey(2 + r)))
+        _, pos, stats, eps, imm = out
+        stats = np.asarray(stats)
+        evals = int(stats[:, :, 3].sum())
+        ess_sec, min_ess, capped = _ess_per_sec(pos, dt)
+        name = "funnel_fused_adaptive" + ("_depth_sorted" if sort else "")
+        log(
+            f"{name}: eps {float(eps):.4f}, accept "
+            f"{stats[:, :, 1].mean():.3f}, div {int(stats[:, :, 4].sum())}"
+            f", min ESS {min_ess:.0f}, wall {dt:.3f}s"
+        )
+        _emit(
+            name,
+            evals / dt,
+            "grad_evals/s",
+            {
+                "ess_per_sec": round(ess_sec),
+                "min_ess": round(min_ess),
+                "ess_capped": capped,
+                "divergences": int(stats[:, :, 4].sum()),
+                "chains": num_chains,
+                "sort_by_depth": sort,
+                "wall_s": round(dt, 3),
+                "note": "warmup(300)+sampling(200) both in-kernel; evals"
+                        "/ESS over sampling, time over the whole run",
+                "runs": TIMED_RUNS,
+                "stat": "median",
+            },
+        )
+
+
 def nuts_fused_adaptive_10k():
     """One-call megakernel driver on the config-5 posterior: Stan window
     adaptation AND sampling both run through the fused kernel
@@ -665,14 +724,16 @@ def nuts_fused_adaptive_10k():
         jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
     )
 
-    from aehmc_tpu.models import logistic_regression_t
+    from aehmc_tpu.models import logistic_regression_pg_t
 
-    potential_t, data_t, _ = logistic_regression_t(dim=dim, num_points=1000)
+    potential_t, pg, data_t, _ = logistic_regression_pg_t(
+        dim=dim, num_points=1000, matmul_dtype=jnp.float32
+    )
 
     f = jax.jit(
         lambda k: sample_fused_adaptive(
             k, None, list(data_t), q0, num_draws, num_warmup,
-            potential_fn_t=potential_t,
+            potential_fn_t=potential_t, potential_and_grad_t=pg,
             max_num_expansions=6, block_chains=256,
         )
     )
@@ -789,9 +850,10 @@ def flagship_end_to_end():
     draws-per-second-of-total-runtime number a user actually gets.
     """
     from aehmc_tpu import chees, hmc, nuts
-    from aehmc_tpu.models import logistic_regression, logistic_regression_t
+    from aehmc_tpu.models import logistic_regression, logistic_regression_pg_t
     from aehmc_tpu.ops.fused_driver import warmup_fused
     from aehmc_tpu.ops.nuts_fused_small import (
+        _as_data_row,
         make_fused_nuts_transition_small,
         sample_fused_small,
     )
@@ -886,17 +948,17 @@ def flagship_end_to_end():
     )
 
     # ---------- (b) fused adaptive transposed driver ----------
-    potential_t, data_t, _ = logistic_regression_t(dim=dim, num_points=1000)
+    # pre-differentiated potential+grad (round 3): +30% over in-kernel vjp
+    potential_t, pg, data_t, _ = logistic_regression_pg_t(
+        dim=dim, num_points=1000, matmul_dtype=jnp.float32
+    )
     transition = make_fused_nuts_transition_small(
         potential_t, list(data_t),
         max_num_expansions=6, block_chains=256,
+        potential_and_grad_t=pg,
     )
-    rows = [jnp.asarray(d, jnp.float32) for d in data_t]
-    rows = [d.reshape(1, -1) if d.ndim < 2 else d for d in rows]
-    u0, pull = jax.vjp(
-        lambda qq: potential_t(qq, *rows), qs.T.astype(jnp.float32)
-    )
-    (g0_t,) = pull(jnp.ones_like(u0))
+    rows = [_as_data_row(d) for d in data_t]
+    u0, g0_t = pg(qs.T.astype(jnp.float32), *rows)
     u0 = u0.reshape(num_chains, 1)
     g0 = g0_t.T
     fwarm_fn = jax.jit(
@@ -912,6 +974,7 @@ def flagship_end_to_end():
         lambda k: sample_fused_small(
             k, potential_t, list(data_t), qw, D, eps_f, imm_f,
             max_num_expansions=6, block_chains=256,
+            potential_and_grad_t=pg,
         )
     )
     t_samp_f, (_, pos_f, stats_f) = timed(
@@ -1055,14 +1118,66 @@ def nuts_fused_t_10k():
     )
 
 
+def nuts_fused_pg_10k():
+    """Config-5 posterior through the transposed megakernel with the
+    PRE-DIFFERENTIATED potential+grad (round 3): the hand-written fused
+    u+g replaces in-kernel jax.vjp — same math, no residual bookkeeping
+    (~+30% measured; bf16 operand passes measured at parity with f32, so
+    matmul dtype stays f32)."""
+    from aehmc_tpu.models import logistic_regression_pg_t
+    from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
+
+    dim, num_chains, num_draws = 100, 10_240, 200
+    pot_t, pg, data, _ = logistic_regression_pg_t(
+        dim=dim, num_points=1000, matmul_dtype=jnp.float32
+    )
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
+    )
+    eps = jnp.asarray(0.5148, jnp.float32)
+    imm = jnp.full((dim,), 0.3386, jnp.float32)
+
+    f = jax.jit(
+        lambda k: sample_fused_small(
+            k, pot_t, list(data), q0, num_draws, eps, imm,
+            max_num_expansions=6, block_chains=256,
+            potential_and_grad_t=pg,
+        )
+    )
+    out = f(jax.random.PRNGKey(1))
+    jax.block_until_ready(out[1])
+    dt, out = _median_time(lambda r: f(jax.random.PRNGKey(2 + r)))
+    stats = np.asarray(out[2])
+    evals = int(stats[:, :, 3].sum())
+    ess_sec, min_ess, capped = _ess_per_sec(out[1], dt)
+    log(
+        f"nuts_fused_pg: accept {stats[:, :, 1].mean():.3f}, "
+        f"div {int(stats[:, :, 4].sum())}, min ESS {min_ess:.0f}"
+    )
+    _emit(
+        "nuts_fused_pg_10k",
+        evals / dt,
+        "grad_evals/s",
+        {
+            "ess_per_sec": round(ess_sec),
+            "chains": num_chains,
+            "draws": num_draws,
+            "min_ess": round(min_ess),
+            "ess_capped": capped,
+            "runs": TIMED_RUNS,
+            "stat": "median",
+        },
+    )
+
+
 def eight_schools_fused():
     """Eight schools (non-centered) end-to-end: self-tuning warmup +
     sampling through the chains-in-lanes megakernel.  Metric: wall-clock
     for the complete 1000-step run at 2048 chains."""
-    from aehmc_tpu.models import eight_schools_t
+    from aehmc_tpu.models import eight_schools_pg_t
     from aehmc_tpu.ops.fused_driver import sample_fused_adaptive
 
-    potential_t, data, _ = eight_schools_t()
+    potential_t, pg, data, _ = eight_schools_pg_t()
     chains = 2048
     q0 = 0.1 * jax.random.normal(
         jax.random.PRNGKey(0), (chains, 10), jnp.float32
@@ -1070,7 +1185,8 @@ def eight_schools_fused():
     f = jax.jit(
         lambda k: sample_fused_adaptive(
             k, None, list(data), q0, num_samples=500, num_warmup=500,
-            potential_fn_t=potential_t, max_num_expansions=10,
+            potential_fn_t=potential_t, potential_and_grad_t=pg,
+            max_num_expansions=10,
             block_chains=1024, target_acceptance_rate=0.85,
         )
     )
@@ -1159,11 +1275,13 @@ CONFIGS = {
     "nuts_fused_10k": nuts_fused_10k,
     "nuts_fused_generic_10k": nuts_fused_generic_10k,
     "nuts_fused_t_10k": nuts_fused_t_10k,
+    "nuts_fused_pg_10k": nuts_fused_pg_10k,
     "funnel_fused": funnel_fused,
     "eight_schools_fused": eight_schools_fused,
     "mvn25_fused": mvn25_fused,
     "mvn25_dense_fused_adaptive": mvn25_dense_fused_adaptive,
     "nuts_fused_adaptive_10k": nuts_fused_adaptive_10k,
+    "funnel_fused_adaptive": funnel_fused_adaptive,
     "flagship_end_to_end": flagship_end_to_end,
     "tpu_gates": tpu_gates,
 }

@@ -19,19 +19,23 @@ sys.path.insert(
 )
 
 from aehmc_tpu.diagnostics import summary  # noqa: E402
-from aehmc_tpu.models import eight_schools_t, neals_funnel_t  # noqa: E402
+from aehmc_tpu.models import (  # noqa: E402
+    eight_schools_pg_t,
+    neals_funnel_pg_t,
+)
 from aehmc_tpu.ops.fused_driver import sample_fused_adaptive  # noqa: E402
 from aehmc_tpu.utils import enable_compilation_cache  # noqa: E402
 
 
-def run(name, potential_t, data, dim, *, target=0.85, chains=2048):
+def run(name, potential_t, pg, data, dim, *, target=0.85, chains=2048):
     q0 = 0.1 * jax.random.normal(
         jax.random.PRNGKey(0), (chains, dim), jnp.float32
     )
     f = jax.jit(
         lambda k: sample_fused_adaptive(
             k, None, data, q0, num_samples=500, num_warmup=500,
-            potential_fn_t=potential_t, max_num_expansions=10,
+            potential_fn_t=potential_t, potential_and_grad_t=pg,
+            max_num_expansions=10,
             block_chains=1024, target_acceptance_rate=target,
         )
     )
@@ -59,14 +63,15 @@ def main():
         print("needs a TPU (in-kernel PRNG has no CPU interpret path)")
         return
 
-    funnel_t, _ = neals_funnel_t(dim=10)
-    pos = run("Neal's funnel (dim 10)", lambda q_t: funnel_t(q_t), [], 10,
-              target=0.9)
+    funnel_t, funnel_pg, fdata, _ = neals_funnel_pg_t(dim=10)
+    pos = run("Neal's funnel (dim 10)", funnel_t, funnel_pg, list(fdata),
+              10, target=0.9)
     v = np.asarray(pos)[100:, :, 0].ravel()
     print(f"  funnel v: mean {v.mean():.2f}, sd {v.std():.2f} (target 0, 3)")
 
-    schools_t, data, _ = eight_schools_t()
-    pos = run("eight schools (non-centered)", schools_t, list(data), 10)
+    schools_t, schools_pg, data, _ = eight_schools_pg_t()
+    pos = run("eight schools (non-centered)", schools_t, schools_pg,
+              list(data), 10)
     draws = np.asarray(pos)[100:]
     mu = draws[:, :, 0].ravel()
     tau = np.exp(draws[:, :, 1].ravel())

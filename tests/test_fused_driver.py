@@ -60,6 +60,41 @@ def test_adaptive_driver_tunes_and_samples(layout):
     assert np.isfinite(np.asarray(pos)).all()
 
 
+def test_adaptive_driver_sort_by_depth():
+    """Depth-sorted block scheduling through the adaptive driver: the
+    permutation must not change the sampled distribution (moments on a
+    known diag Gaussian) and the run must stay deterministic per seed.
+    Depth rides the scan carry; outputs are unpermuted."""
+    chains, dim = 64, VAR.size
+    q0 = jax.random.normal(
+        jax.random.PRNGKey(0), (chains, dim), jnp.float32
+    ) * jnp.sqrt(jnp.asarray(VAR))
+    kwargs = dict(
+        num_samples=150,
+        num_warmup=80,
+        max_num_expansions=4,
+        block_chains=16,
+        use_internal_prng=False,
+        interpret=True,
+        sort_by_depth=True,
+    )
+    qf, pos, stats, eps, imm = sample_fused_adaptive(
+        jax.random.PRNGKey(1), None, [VAR.reshape(-1, 1)], q0,
+        potential_fn_t=_potential_t, **kwargs,
+    )
+    stats = np.asarray(stats)
+    assert stats[:, :, 1].mean() > 0.5
+    flat = np.asarray(pos)[50:].reshape(-1, dim)
+    np.testing.assert_allclose(flat.mean(axis=0), 0.0, atol=0.25)
+    np.testing.assert_allclose(flat.var(axis=0), VAR, rtol=0.35)
+    # determinism per seed
+    qf2, pos2, _, _, _ = sample_fused_adaptive(
+        jax.random.PRNGKey(1), None, [VAR.reshape(-1, 1)], q0,
+        potential_fn_t=_potential_t, **kwargs,
+    )
+    np.testing.assert_array_equal(np.asarray(pos), np.asarray(pos2))
+
+
 def test_adaptive_driver_potential_and_grad_matches_vjp():
     """The pre-differentiated (hand-written potential+grad) path through
     the adaptive driver must reproduce the vjp path exactly at f32 —

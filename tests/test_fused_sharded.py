@@ -110,7 +110,7 @@ def test_sharded_transition_rejects_bad_tiling():
         shard_fused_transition(tr, make_mesh(8), CHAINS + 4, BLK)
 
 
-def _adaptive(mesh, seed=2):
+def _adaptive(mesh, seed=2, potential_and_grad_t=None):
     q0 = 0.3 * np.random.default_rng(seed).normal(
         size=(CHAINS, DIM)
     ).astype(np.float32)
@@ -122,6 +122,7 @@ def _adaptive(mesh, seed=2):
         num_samples=6,
         num_warmup=10,
         potential_fn_t=_potential_t,
+        potential_and_grad_t=potential_and_grad_t,
         max_num_expansions=MAX_EXP,
         block_chains=BLK,
         initial_step_size=0.4,
@@ -145,6 +146,31 @@ def test_adaptive_driver_mesh_matches_unsharded():
     )
     np.testing.assert_allclose(
         np.asarray(qf1), np.asarray(qf0), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_adaptive_driver_mesh_composes_with_pg_path():
+    """The pre-differentiated potential+grad hook composes with the
+    mesh: pg-through-shard_map reproduces vjp-through-shard_map
+    (decisions bitwise, tuned parameters and floats to round-off)."""
+
+    def _pg_t(q_t, var_col):
+        u = 0.5 * jnp.sum(q_t * q_t / var_col, axis=0, keepdims=True)
+        return u, q_t / var_col
+
+    qf0, _, stats0, eps0, imm0 = _adaptive(make_mesh(8))
+    qf1, _, stats1, eps1, imm1 = _adaptive(
+        make_mesh(8), potential_and_grad_t=_pg_t
+    )
+    np.testing.assert_allclose(float(eps1), float(eps0), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(imm1), np.asarray(imm0), rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(stats0)[:, :, 2:6], np.asarray(stats1)[:, :, 2:6]
+    )
+    np.testing.assert_allclose(
+        np.asarray(qf1), np.asarray(qf0), rtol=5e-5, atol=5e-5
     )
 
 

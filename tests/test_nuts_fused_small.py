@@ -303,6 +303,45 @@ def test_logistic_pg_t_f32_matches_vjp_path():
     )
 
 
+@pytest.mark.parametrize("model", ["funnel", "eight_schools"])
+def test_model_pg_builders_match_vjp_path(model):
+    """The library's hand-written potential+grad builders (funnel, eight
+    schools) must reproduce the vjp differentiation of the same
+    potential: identical decisions, positions to round-off."""
+    from aehmc_tpu.models import eight_schools_pg_t, neals_funnel_pg_t
+    from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
+
+    if model == "funnel":
+        pot_t, pg, data, ex = neals_funnel_pg_t(dim=6)
+    else:
+        pot_t, pg, data, ex = eight_schools_pg_t()
+    dim = ex.shape[0]
+    chains, draws = 16, 25
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (chains, dim), jnp.float32
+    )
+    common = dict(
+        num_samples=draws,
+        step_size=jnp.asarray(0.2, jnp.float32),
+        inverse_mass=jnp.ones(dim, jnp.float32),
+        max_num_expansions=4, block_chains=chains,
+        internal_prng=False, _interpret=True,
+    )
+    _, pos_a, stats_a = sample_fused_small(
+        jax.random.PRNGKey(1), pot_t, list(data), q0, **common
+    )
+    _, pos_b, stats_b = sample_fused_small(
+        jax.random.PRNGKey(1), pot_t, list(data), q0,
+        potential_and_grad_t=pg, **common
+    )
+    np.testing.assert_array_equal(
+        np.asarray(stats_a)[:, :, 2:6], np.asarray(stats_b)[:, :, 2:6]
+    )
+    np.testing.assert_allclose(
+        np.asarray(pos_a), np.asarray(pos_b), rtol=5e-5, atol=5e-5
+    )
+
+
 def test_logistic_pg_t_bf16_moments_match_f32():
     """bf16 matmul passes (f32 accumulation, f32 energies) must leave the
     sampled posterior statistically unchanged — the MH correction targets

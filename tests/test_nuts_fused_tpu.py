@@ -117,6 +117,76 @@ def test_small_kernel_dense_metric_moments():
 
 
 @requires_tpu
+def test_small_kernel_pg_path_moments():
+    """The pre-differentiated potential+grad production path (round 3:
+    the flagship's +30% lever) with in-kernel PRNG: posterior moments on
+    the diag Gaussian must match the truth, like the vjp path."""
+    from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
+
+    def potential_t(q_t, var_col):
+        return 0.5 * jnp.sum(q_t * q_t / var_col, axis=0)
+
+    def potential_and_grad_t(q_t, var_col):
+        u = 0.5 * jnp.sum(q_t * q_t / var_col, axis=0, keepdims=True)
+        return u, q_t / var_col
+
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(6), (CHAINS, DIM), jnp.float32
+    )
+    _, positions, stats = jax.jit(
+        lambda k: sample_fused_small(
+            k, potential_t, [jnp.asarray(VAR).reshape(-1, 1)], q0, DRAWS,
+            jnp.asarray(0.5, jnp.float32), jnp.ones(DIM, jnp.float32),
+            max_num_expansions=5, block_chains=CHAINS,
+            potential_and_grad_t=potential_and_grad_t,
+        )
+    )(jax.random.PRNGKey(7))
+    stats = np.asarray(stats)
+    assert stats[:, :, 1].mean() > 0.5
+    assert stats[:, :, 4].sum() == 0
+    _check_moments(positions)
+
+
+@requires_tpu
+def test_adaptive_driver_sorted_funnel_moments():
+    """Depth-sorted block scheduling composed with the self-tuning
+    driver and the in-kernel PRNG, on the posterior it exists for
+    (Neal's funnel): the v marginal is N(0, 3^2) by construction — gate
+    its mean/std and determinism per seed."""
+    from aehmc_tpu.models import neals_funnel_t
+    from aehmc_tpu.ops.fused_driver import sample_fused_adaptive
+
+    dim, chains = 10, 512
+    base_potential_t, _ = neals_funnel_t(dim=dim)
+    potential_t = lambda q_t, _d: base_potential_t(q_t)  # noqa: E731
+    data = [jnp.zeros((1, 1), jnp.float32)]
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(8), (chains, dim), jnp.float32
+    )
+    run = jax.jit(
+        lambda k: sample_fused_adaptive(
+            k, None, data, q0, 400, 300,
+            potential_fn_t=potential_t, max_num_expansions=10,
+            block_chains=chains, target_acceptance_rate=0.85,
+            sort_by_depth=True,
+        )
+    )
+    _, positions, stats, eps, _ = run(jax.random.PRNGKey(9))
+    stats = np.asarray(stats)
+    assert stats[:, :, 1].mean() > 0.6
+    v = np.asarray(positions)[50:, :, 0].ravel()
+    # v mixes slowly at the funnel's tuned step size, so the mean's MC
+    # error is several tenths at this chain budget (observed 0.45 on a
+    # healthy run); the bound catches gross bias, the sd pins the scale
+    assert abs(v.mean()) < 0.8
+    assert abs(v.std() - 3.0) < 0.5
+    _, positions2, _, _, _ = run(jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(
+        np.asarray(positions), np.asarray(positions2)
+    )
+
+
+@requires_tpu
 def test_adaptive_driver_recovers_variances():
     from aehmc_tpu.ops.fused_driver import sample_fused_adaptive
 
