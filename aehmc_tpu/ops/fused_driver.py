@@ -168,8 +168,16 @@ def warmup_fused_hooks(
     initial_step_size: float = 0.1,
     target_acceptance_rate: float = 0.8,
     use_internal_prng: bool = True,
+    sort_by_depth: bool = False,
 ) -> Tuple[Callable, Callable, Callable]:
     """Segmentable fused warmup: ``(init, segment, finish)``.
+
+    ``sort_by_depth`` applies depth-sorted block scheduling to the
+    warmup transitions too (outputs and the adaptation statistics are
+    computed on the UNPERMUTED arrays, so the Stan state machine sees
+    exactly what an unsorted run would up to which chain consumed which
+    randomness slot); the previous step's depth joins the warmup carry,
+    so segmented (checkpointed) warmup stays bitwise.
 
     Same contract as
     :func:`aehmc_tpu.parallel.pooled.pooled_warmup_hooks`: the warmup
@@ -203,11 +211,16 @@ def warmup_fused_hooks(
         key_seed, key_scan = jax.random.split(rng_key)
         keys = jax.random.split(key_scan, num_steps)
         seeds = derive_draw_seeds(key_seed, num_steps)
-        return ((q, u0, g0), adaptation_state, keys, seeds)
+        depth0 = jnp.zeros((num_chains,), jnp.float32)
+        return ((q, u0, g0), adaptation_state, depth0, keys, seeds)
 
     def one_step(carry, inputs):
-        (q, u, g), ast = carry
+        (q, u, g), ast, depth = carry
         step, key, seed = inputs
+        if sort_by_depth:
+            order = jnp.argsort(depth)
+            inv = jnp.argsort(order)
+            q, u, g = q[order], u[order], g[order]
         if use_internal_prng:
             qn, un, gn, stats = transition(
                 q, u, g, None, None, None, None,
@@ -222,18 +235,21 @@ def warmup_fused_hooks(
                 q, u, g, p, dirs, ub, ul,
                 ast.inverse_mass_matrix, ast.step_size,
             )
+        if sort_by_depth:
+            qn, un, gn, stats = qn[inv], un[inv], gn[inv], stats[inv]
         new_ast = update_adapt(step, ast, qn, stats)
-        return ((qn, un, gn), new_ast), stats[:, 1]
+        return ((qn, un, gn), new_ast, stats[:, 2]), stats[:, 1]
 
     def segment(wcarry, steps):
-        qug, ast, keys, seeds = wcarry
-        (qug, ast), accepts = jax.lax.scan(
-            one_step, (qug, ast), (steps, keys[steps], seeds[steps])
+        qug, ast, depth, keys, seeds = wcarry
+        (qug, ast, depth), accepts = jax.lax.scan(
+            one_step, (qug, ast, depth),
+            (steps, keys[steps], seeds[steps]),
         )
-        return (qug, ast, keys, seeds), accepts
+        return (qug, ast, depth, keys, seeds), accepts
 
     def finish(wcarry):
-        qug, ast, _, _ = wcarry
+        qug, ast, _, _, _ = wcarry
         return qug, (ast.step_size, ast.inverse_mass_matrix)
 
     return init, segment, finish
@@ -252,6 +268,7 @@ def warmup_fused(
     initial_step_size: float = 0.1,
     target_acceptance_rate: float = 0.8,
     use_internal_prng: bool = True,
+    sort_by_depth: bool = False,
 ) -> Tuple[Tuple[jax.Array, jax.Array, jax.Array], jax.Array, jax.Array]:
     """Stan window adaptation over a fused NUTS transition.
 
@@ -281,6 +298,7 @@ def warmup_fused(
         initial_step_size=initial_step_size,
         target_acceptance_rate=target_acceptance_rate,
         use_internal_prng=use_internal_prng,
+        sort_by_depth=sort_by_depth,
     )
     wcarry = init(rng_key, (initial_positions, u0, g0))
     wcarry, _ = segment(wcarry, jnp.arange(num_steps, dtype=jnp.int32))
@@ -329,7 +347,7 @@ def sample_fused_adaptive(
     PERF.md round 3).  ``is_mass_matrix_full``
     self-tunes a DENSE inverse mass matrix end-to-end in-kernel
     (transposed kernel only).  ``sort_by_depth`` applies depth-sorted
-    block scheduling to the sampling phase (see
+    block scheduling to both warmup and sampling (see
     :func:`aehmc_tpu.ops.nuts_fused_small.sample_fused_small`; ~2.4x on
     Neal's funnel) — the previous draw's tree depth travels in the scan
     carry (and in checkpoints, so resume stays bitwise).  Pass ``mesh``
@@ -458,6 +476,7 @@ def sample_fused_adaptive(
             initial_step_size=initial_step_size,
             target_acceptance_rate=target_acceptance_rate,
             use_internal_prng=use_internal_prng,
+            sort_by_depth=sort_by_depth,
         )
 
         key_seed, key_scan = jax.random.split(sample_key)
@@ -489,6 +508,7 @@ def sample_fused_adaptive(
         num_warmup,
         max_num_expansions=max_num_expansions,
         is_mass_matrix_full=is_mass_matrix_full,
+        sort_by_depth=sort_by_depth,
         initial_step_size=initial_step_size,
         target_acceptance_rate=target_acceptance_rate,
         use_internal_prng=use_internal_prng,
@@ -505,6 +525,7 @@ def sample_fused_adaptive(
             initial_step_size=initial_step_size,
             target_acceptance_rate=target_acceptance_rate,
             use_internal_prng=use_internal_prng,
+            sort_by_depth=sort_by_depth,
         )
         return (
             (q, u, g, depth0),
