@@ -178,10 +178,12 @@ def test_adaptive_driver_dense_self_tuning():
 
 
 @pytest.mark.parametrize("crash", ["warmup", "sampling"])
-def test_adaptive_driver_checkpoint_resume(tmp_path, crash):
+@pytest.mark.parametrize("sort", [False, True])
+def test_adaptive_driver_checkpoint_resume(tmp_path, crash, sort):
     """The megakernel driver checkpoints BOTH phases: a run killed
     mid-warmup or mid-sampling resumes from the last snapshot and
-    reproduces the uninterrupted checkpointed run bit for bit."""
+    reproduces the uninterrupted checkpointed run bit for bit — with
+    depth-sorted scheduling on too (the depth rides the carry)."""
     chains, dim = 8, VAR.size
     q0 = jax.random.normal(
         jax.random.PRNGKey(4), (chains, dim), jnp.float32
@@ -192,10 +194,11 @@ def test_adaptive_driver_checkpoint_resume(tmp_path, crash):
         num_warmup=15,
         potential_fn_t=_potential_t,
         max_num_expansions=3,
-        block_chains=chains,
+        block_chains=4,
         use_internal_prng=False,
         interpret=True,
         checkpoint_every=5,
+        sort_by_depth=sort,
     )
     args = (key, None, [VAR.reshape(-1, 1)], q0)
 
