@@ -32,7 +32,14 @@ def _emit(name, value, unit, extra=None):
     rec = {"config": name, "value": round(float(value), 2), "unit": unit}
     if extra:
         rec.update(extra)
-    print(json.dumps(rec), flush=True)
+    line = json.dumps(rec)
+    print(line, flush=True)
+    # stdout disappears into pipes/timeouts too easily; mirror every
+    # record to a durable log when AEHMC_RESULTS_FILE is set
+    results_file = __import__("os").environ.get("AEHMC_RESULTS_FILE")
+    if results_file:
+        with open(results_file, "a") as fh:
+            fh.write(line + "\n")
 
 
 MIN_DRAWS_PER_CHAIN = 200
