@@ -293,6 +293,7 @@ def warmup_hooks(
     divergence_threshold: float = 1000.0,
     search_initial_step_size: bool = True,
     dtype=None,
+    kernel_fn: Callable = None,
 ) -> Tuple[Callable, Callable, Callable]:
     """Segmentable ChEES warmup: ``(init, segment, finish)``.
 
@@ -302,8 +303,16 @@ def warmup_hooks(
     step range in slices reproduces the single-scan run bit for bit
     (warmup checkpointing rides on this).  ``finish`` returns a
     :class:`CheesWarmupResult`.
+
+    ``kernel_fn`` replaces the ENTIRE transition (momentum draw,
+    trajectory, MH accept) with a custom implementation of the same
+    ``(key, states, eps, num_steps, imm) -> (ChainState, CheesInfo)``
+    signature — the hook for the fused Pallas transition
+    (:func:`aehmc_tpu.ops.chees_fused.make_fused_chees_kernel`);
+    ``logprob_fn``/``integrator``/``integrate_fn`` are ignored when it is
+    given.
     """
-    kernel = new_kernel(
+    kernel = kernel_fn or new_kernel(
         logprob_fn, divergence_threshold, integrator, integrate_fn
     )
     da_init, da_update = dual_averaging_adaptation(target_acceptance_rate)
@@ -455,6 +464,7 @@ def warmup(
     integrate_fn: Callable = None,
     divergence_threshold: float = 1000.0,
     search_initial_step_size: bool = True,
+    kernel_fn: Callable = None,
 ) -> CheesWarmupResult:
     """Jointly adapt (step size, trajectory length, diag mass matrix).
 
@@ -481,6 +491,7 @@ def warmup(
         divergence_threshold=divergence_threshold,
         search_initial_step_size=search_initial_step_size,
         dtype=initial_states.position.dtype,
+        kernel_fn=kernel_fn,
     )
     wcarry = init(rng_key, initial_states)
     wcarry, _ = segment(wcarry, jnp.arange(num_steps, dtype=jnp.int32))
@@ -501,6 +512,7 @@ def sample(
     integrate_fn: Callable = None,
     divergence_threshold: float = 1000.0,
     collect_positions: bool = True,
+    kernel_fn: Callable = None,
     _keys: jax.Array = None,
     _step_offset=0,
 ):
@@ -510,8 +522,9 @@ def sample(
     (draws, chains, dim) and ``infos`` a :class:`CheesSampleInfo` — the
     per-chain divergence flags and energies the kernel computes are kept,
     so production ChEES runs report divergences like every other sampler.
+    ``kernel_fn`` replaces the whole transition (see :func:`warmup_hooks`).
     """
-    kernel = new_kernel(
+    kernel = kernel_fn or new_kernel(
         logprob_fn, divergence_threshold, integrator, integrate_fn
     )
     dtype = states.position.dtype

@@ -129,6 +129,13 @@ def shard_fused_transition(
     def sharded(q, u, g, p, dirs, ub, ul, imm, eps, seed=None):
         internal = seed is not None
         rand_spec = rep if internal else chain_spec
+        # a per-chain step-size vector shards with the chains; the scalar
+        # is replicated
+        eps_spec = (
+            chain_spec
+            if jnp.ndim(eps) > 0 and jnp.size(eps) > 1
+            else rep
+        )
 
         def local(q, u, g, p, dirs, ub, ul, imm, eps, seed):
             if internal:
@@ -148,7 +155,7 @@ def shard_fused_transition(
             in_specs=(
                 chain_spec, chain_spec, chain_spec,
                 rand_spec, rand_spec, rand_spec, rand_spec,
-                rep, rep, rep,
+                rep, eps_spec, rep,
             ),
             out_specs=(chain_spec, chain_spec, chain_spec, chain_spec),
             check_rep=False,
@@ -169,8 +176,17 @@ def warmup_fused_hooks(
     target_acceptance_rate: float = 0.8,
     use_internal_prng: bool = True,
     sort_by_depth: bool = False,
+    step_size_factors=None,
 ) -> Tuple[Callable, Callable, Callable]:
     """Segmentable fused warmup: ``(init, segment, finish)``.
+
+    ``step_size_factors`` (a per-chain (chains,) vector) RIFFLES the step
+    size across the fleet: every transition runs chain ``c`` at
+    ``ast.step_size * factors[c]`` while the Stan/dual-averaging state
+    machine keeps tuning the single pooled base ε against the pooled
+    acceptance — the tuned base then centers the riffle so mean
+    acceptance hits the target.  Requires the transposed kernel (the
+    only layout with per-chain ε support).
 
     ``sort_by_depth`` applies depth-sorted block scheduling to the
     warmup transitions too (outputs and the adaptation statistics are
@@ -217,14 +233,19 @@ def warmup_fused_hooks(
     def one_step(carry, inputs):
         (q, u, g), ast, depth = carry
         step, key, seed = inputs
+        eps = ast.step_size
+        if step_size_factors is not None:
+            eps = eps * step_size_factors
         if sort_by_depth:
             order = jnp.argsort(depth)
             inv = jnp.argsort(order)
             q, u, g = q[order], u[order], g[order]
+            if step_size_factors is not None:
+                eps = eps[order]
         if use_internal_prng:
             qn, un, gn, stats = transition(
                 q, u, g, None, None, None, None,
-                ast.inverse_mass_matrix, ast.step_size, seed=seed,
+                ast.inverse_mass_matrix, eps, seed=seed,
             )
         else:
             p, dirs, ub, ul = _external_randomness(
@@ -233,7 +254,7 @@ def warmup_fused_hooks(
             )
             qn, un, gn, stats = transition(
                 q, u, g, p, dirs, ub, ul,
-                ast.inverse_mass_matrix, ast.step_size,
+                ast.inverse_mass_matrix, eps,
             )
         if sort_by_depth:
             qn, un, gn, stats = qn[inv], un[inv], gn[inv], stats[inv]
@@ -269,6 +290,7 @@ def warmup_fused(
     target_acceptance_rate: float = 0.8,
     use_internal_prng: bool = True,
     sort_by_depth: bool = False,
+    step_size_factors=None,
 ) -> Tuple[Tuple[jax.Array, jax.Array, jax.Array], jax.Array, jax.Array]:
     """Stan window adaptation over a fused NUTS transition.
 
@@ -299,6 +321,7 @@ def warmup_fused(
         target_acceptance_rate=target_acceptance_rate,
         use_internal_prng=use_internal_prng,
         sort_by_depth=sort_by_depth,
+        step_size_factors=step_size_factors,
     )
     wcarry = init(rng_key, (initial_positions, u0, g0))
     wcarry, _ = segment(wcarry, jnp.arange(num_steps, dtype=jnp.int32))
@@ -325,6 +348,7 @@ def sample_fused_adaptive(
     collect_positions: bool = True,
     use_internal_prng: bool = True,
     sort_by_depth: bool = False,
+    step_size_factors=None,
     interpret: bool = False,
     mesh=None,
     checkpoint_every: int = 0,
@@ -350,7 +374,15 @@ def sample_fused_adaptive(
     block scheduling to both warmup and sampling (see
     :func:`aehmc_tpu.ops.nuts_fused_small.sample_fused_small`; ~2.4x on
     Neal's funnel) — the previous draw's tree depth travels in the scan
-    carry (and in checkpoints, so resume stays bitwise).  Pass ``mesh``
+    carry (and in checkpoints, so resume stays bitwise).
+    ``step_size_factors`` (per-chain (chains,) multipliers, transposed
+    kernel only) RIFFLES the step size across the fleet: chain ``c``
+    always integrates at ``ε·factors[c]`` while dual averaging tunes the
+    pooled base ε against pooled acceptance — on posteriors where any
+    single ε diverges somewhere (the funnel's neck), the low-factor
+    chains keep sampling the region the high-factor chains reject.
+    Every chain remains a valid NUTS chain on the same posterior (its ε
+    is fixed, so per-chain detailed balance is untouched).  Pass ``mesh``
     (a ``jax.sharding.Mesh``)
     to shard the chain axis across devices: the kernel runs per-device
     under ``shard_map`` while the pooled-adaptation reductions cross
@@ -375,6 +407,16 @@ def sample_fused_adaptive(
             "pass potential_fn_t (the standard-layout megakernel has no "
             "dense metric path)"
         )
+    if step_size_factors is not None:
+        if not small:
+            raise ValueError(
+                "step_size_factors requires the transposed kernel — pass "
+                "potential_fn_t (per-chain step sizes ride a lane row of "
+                "the chains-in-lanes layout)"
+            )
+        step_size_factors = jnp.asarray(
+            step_size_factors, jnp.float32
+        ).reshape(num_chains)
     if block_chains is None:
         block_chains = 1024 if small else 256
     if mesh is not None:
@@ -431,9 +473,13 @@ def sample_fused_adaptive(
         initial_positions = jax.device_put(initial_positions, sharding)
         u0 = jax.device_put(u0, sharding)
         g0 = jax.device_put(g0, sharding)
+        if step_size_factors is not None:
+            step_size_factors = jax.device_put(step_size_factors, sharding)
 
     def _one_draw(carry, key, seed, eps, imm):
         q, u, g, depth = carry
+        if step_size_factors is not None:
+            eps = eps * step_size_factors
         if sort_by_depth:
             # depth-sorted block scheduling (see sample_fused_small):
             # group similar previous-draw tree depths into the same
@@ -443,6 +489,8 @@ def sample_fused_adaptive(
             order = jnp.argsort(depth)
             inv = jnp.argsort(order)
             q, u, g = q[order], u[order], g[order]
+            if step_size_factors is not None:
+                eps = eps[order]
         if use_internal_prng:
             qn, un, gn, stats = transition(
                 q, u, g, None, None, None, None, imm, eps, seed=seed
@@ -477,6 +525,7 @@ def sample_fused_adaptive(
             target_acceptance_rate=target_acceptance_rate,
             use_internal_prng=use_internal_prng,
             sort_by_depth=sort_by_depth,
+            step_size_factors=step_size_factors,
         )
 
         key_seed, key_scan = jax.random.split(sample_key)
@@ -512,6 +561,7 @@ def sample_fused_adaptive(
         initial_step_size=initial_step_size,
         target_acceptance_rate=target_acceptance_rate,
         use_internal_prng=use_internal_prng,
+        step_size_factors=step_size_factors,
     )
 
     def warmup_program(key, positions):
@@ -526,6 +576,7 @@ def sample_fused_adaptive(
             target_acceptance_rate=target_acceptance_rate,
             use_internal_prng=use_internal_prng,
             sort_by_depth=sort_by_depth,
+            step_size_factors=step_size_factors,
         )
         return (
             (q, u, g, depth0),

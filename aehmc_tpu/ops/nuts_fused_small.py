@@ -319,7 +319,8 @@ def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
 
 def _make_kernel_t(pot_grad_builder_t: Callable, n_data: int, *,
                    max_exp: int, divergence_threshold: float,
-                   internal_prng: bool, dense_metric: bool = False):
+                   internal_prng: bool, dense_metric: bool = False,
+                   per_chain_eps: bool = False):
     def _kernel(*args):
         if internal_prng:
             (eps_ref, seed_ref, q_ref, u0_ref, g_ref), refs = (
@@ -342,7 +343,11 @@ def _make_kernel_t(pot_grad_builder_t: Callable, n_data: int, *,
              dirs_ref, ubias_ref, uleaf_ref) = refs
         else:
             (q_out, u_out, g_out, stats_out, ck_p, ck_s) = refs
-        eps = eps_ref[0]
+        # per-chain step sizes ride a (1, block) VMEM lane row (the
+        # transposed layout makes this free: every eps use broadcasts
+        # over sublanes exactly like the direction row); the scalar case
+        # stays an SMEM scalar
+        eps = eps_ref[:] if per_chain_eps else eps_ref[0]
         dim, blk = q_ref.shape
 
         if dense_metric:
@@ -435,6 +440,15 @@ def make_fused_nuts_transition_small(
     arrays keep their dtype (pass bf16 operands directly; f64 is
     downcast to f32).
 
+    ``step_size`` may be a scalar or a PER-CHAIN vector of shape
+    (num_chains,): each chain integrates with its own ε (a fixed per-chain
+    step size leaves every chain a valid NUTS chain on the same
+    posterior).  In the transposed layout this is free — ε becomes a
+    (1, block) lane row and every use broadcasts over sublanes exactly
+    like the direction row.  Heterogeneous ε *within* a block is
+    supported; for heavy-tailed posteriors combine with depth sorting so
+    blocks stay depth-uniform.
+
     Returns ``transition(q, potential, grad, momentum, directions,
     u_bias, u_leaf, inverse_mass, step_size, seed=None)`` exactly like
     :func:`aehmc_tpu.ops.nuts_fused.make_fused_nuts_transition`.
@@ -468,7 +482,17 @@ def make_fused_nuts_transition_small(
         grid = (num_chains // blk,)
 
         data_rows = [_as_data_row(d) for d in data]
-        eps = jnp.asarray(step_size, jnp.float32).reshape(1)
+        eps_arr = jnp.asarray(step_size, jnp.float32)
+        per_chain_eps = eps_arr.size > 1
+        if per_chain_eps:
+            if eps_arr.size != num_chains:
+                raise ValueError(
+                    f"per-chain step_size has {eps_arr.size} entries for "
+                    f"{num_chains} chains"
+                )
+            eps = eps_arr.reshape(1, num_chains)
+        else:
+            eps = eps_arr.reshape(1)
         inverse_mass = jnp.asarray(inverse_mass, jnp.float32)
         dense_metric = inverse_mass.ndim == 2
         if dense_metric:
@@ -493,12 +517,17 @@ def make_fused_nuts_transition_small(
             divergence_threshold=divergence_threshold,
             internal_prng=internal_prng,
             dense_metric=dense_metric,
+            per_chain_eps=per_chain_eps,
         )
         colblk = lambda rows: pl.BlockSpec(  # noqa: E731
             (rows, blk), lambda i: (0, i), memory_space=pltpu.VMEM
         )
         fixed = lambda *shape: pl.BlockSpec(  # noqa: E731
             shape, (lambda i: (0,) * len(shape)), memory_space=pltpu.VMEM
+        )
+        eps_spec = (
+            colblk(1) if per_chain_eps
+            else pl.BlockSpec(memory_space=pltpu.SMEM)
         )
         state_specs = [colblk(dim), colblk(1), colblk(dim)]
         state_args = [
@@ -508,7 +537,7 @@ def make_fused_nuts_transition_small(
         ]
         if internal_prng:
             in_specs = [
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                eps_spec,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 *state_specs,
             ]
@@ -517,7 +546,7 @@ def make_fused_nuts_transition_small(
             ]
         else:
             in_specs = [
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                eps_spec,
                 *state_specs,
                 colblk(dim), colblk(K), colblk(K), colblk(lmax),
             ]
@@ -593,9 +622,12 @@ def sample_fused_small(
 
     ``potential_fn_t`` takes the TRANSPOSED (dim, block) position batch
     (see :func:`make_fused_nuts_transition_small`).  Defaults to
-    in-kernel PRNG; one ``lax.scan`` over draws.  Returns
-    ``(final_positions, positions, stats_history)`` with the same stats
-    columns as :func:`aehmc_tpu.ops.nuts_fused.sample_fused`.
+    in-kernel PRNG; one ``lax.scan`` over draws.  ``step_size`` may be a
+    scalar or a per-chain (num_chains,) vector (each chain keeps its own
+    fixed ε — with ``sort_by_depth`` the vector rides the chain
+    permutation).  Returns ``(final_positions, positions,
+    stats_history)`` with the same stats columns as
+    :func:`aehmc_tpu.ops.nuts_fused.sample_fused`.
 
     ``sort_by_depth`` enables DEPTH-SORTED BLOCK SCHEDULING: before each
     transition the chains are permuted by the previous draw's tree depth
@@ -613,6 +645,10 @@ def sample_fused_small(
     """
     num_chains, dim = initial_positions.shape
     lmax = 2**max_num_expansions
+    step_size = jnp.asarray(step_size, jnp.float32)
+    per_chain_eps = step_size.size > 1
+    if per_chain_eps:
+        step_size = step_size.reshape(num_chains)
     inverse_mass = jnp.asarray(inverse_mass, jnp.float32)
     if inverse_mass.ndim == 2:
         # momentum ~ N(0, M): p = L^{-T} z with L = chol(M^{-1})
@@ -653,9 +689,12 @@ def sample_fused_small(
 
     def _maybe_sort(q, u, g, depth):
         if not sort_by_depth:
-            return (q, u, g), None
+            return (q, u, g), None, step_size
         order = jnp.argsort(depth)
-        return (q[order], u[order], g[order]), jnp.argsort(order)
+        # a per-chain step size is a property of the CHAIN, so it rides
+        # the same permutation into the sorted block layout
+        eps_step = step_size[order] if per_chain_eps else step_size
+        return (q[order], u[order], g[order]), jnp.argsort(order), eps_step
 
     def _unsort(inv, *arrays):
         if inv is None:
@@ -666,9 +705,9 @@ def sample_fused_small(
 
         def one_seeded(carry, seed):
             q, u, g, depth = carry
-            (q, u, g), inv = _maybe_sort(q, u, g, depth)
+            (q, u, g), inv, eps_step = _maybe_sort(q, u, g, depth)
             qn, un, gn, stats = transition(
-                q, u, g, None, None, None, None, inverse_mass, step_size,
+                q, u, g, None, None, None, None, inverse_mass, eps_step,
                 seed=seed,
             )
             qn, un, gn, stats = _unsort(inv, qn, un, gn, stats)
@@ -685,7 +724,7 @@ def sample_fused_small(
 
     def one(carry, k):
         q, u, g, depth = carry
-        (q, u, g), inv = _maybe_sort(q, u, g, depth)
+        (q, u, g), inv, eps_step = _maybe_sort(q, u, g, depth)
         k1, k2, k3, k4 = jax.random.split(k, 4)
         z = jax.random.normal(k1, (num_chains, dim), jnp.float32)
         p = z @ mass_sqrt.T if mass_sqrt.ndim == 2 else mass_sqrt * z
@@ -697,7 +736,7 @@ def sample_fused_small(
         ub = jax.random.uniform(k3, (num_chains, max_num_expansions))
         ul = jax.random.uniform(k4, (num_chains, lmax))
         qn, un, gn, stats = transition(
-            q, u, g, p, dirs, ub, ul, inverse_mass, step_size
+            q, u, g, p, dirs, ub, ul, inverse_mass, eps_step
         )
         qn, un, gn, stats = _unsort(inv, qn, un, gn, stats)
         out = qn if collect_positions else None

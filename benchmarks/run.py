@@ -4,8 +4,9 @@ Run:  python benchmarks/run.py [config ...]
 Configs: readme_nuts, linreg_warmup, mvn25_dense, funnel, logistic_10k,
 chees_10k, meads_10k, meads_10k_amortized, nuts_fused_10k,
 nuts_fused_generic_10k, nuts_fused_t_10k, nuts_fused_pg_10k,
-funnel_fused, funnel_fused_adaptive, eight_schools_fused, mvn25_fused,
-mvn25_dense_fused_adaptive, nuts_fused_adaptive_10k,
+funnel_fused, funnel_fused_adaptive, funnel_fused_riffled,
+eight_schools_fused, mvn25_fused, mvn25_dense_fused_adaptive,
+nuts_fused_adaptive_10k, chees_fused_10k,
 flagship_end_to_end, tpu_gates, all
 (the *fused* configs need a real TPU).
 
@@ -1275,6 +1276,129 @@ def tpu_gates():
     )
 
 
+def chees_fused_10k():
+    """The fused ChEES megakernel (ops/chees_fused.py) on the config-5
+    posterior, self-tuning end-to-end: ChEES is the TPU-regular sampler
+    (shared trajectory lengths, zero per-chain control flow), so fusing
+    its whole transition into one VMEM-resident kernel attacks the HBM
+    loop-carry traffic that bounds the XLA path (~66M evals/s)."""
+    from aehmc_tpu.models.regression import logistic_regression_pg_t
+    from aehmc_tpu.ops.chees_fused import sample_fused_chees_adaptive
+
+    dim, num_chains = 100, 10_240
+    num_warmup, num_draws = 300, 200
+    pot_t, pg, data, _ = logistic_regression_pg_t(
+        dim=dim, matmul_dtype=jnp.float32
+    )
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
+    )
+    f = jax.jit(
+        lambda k: sample_fused_chees_adaptive(
+            k, pot_t, list(data), q0, num_draws, num_warmup,
+            potential_and_grad_t=pg, block_chains=256,
+        )
+    )
+    out = f(jax.random.PRNGKey(1))
+    jax.block_until_ready(out[1])
+    dt, out = _median_time(lambda r: f(jax.random.PRNGKey(2 + r)))
+    _, pos, infos, wres = out
+    accept = np.asarray(infos.acceptance_probability)
+    L = np.asarray(infos.num_integration_steps)
+    evals = int(L.sum()) * num_chains
+    div = int(np.asarray(infos.is_diverging).sum())
+    ess_sec, min_ess, capped = _ess_per_sec(pos, dt)
+    log(
+        f"chees_fused_10k: accept {accept.mean():.3f}, div {div}, eps "
+        f"{float(wres.step_size):.4f}, h {float(wres.trajectory_length):.3f},"
+        f" mean L {L.mean():.1f}, min ESS {min_ess:.0f}, wall {dt:.3f}s"
+    )
+    _emit(
+        "chees_fused_10k",
+        evals / dt,
+        "grad_evals/s",
+        {
+            "ess_per_sec": round(ess_sec),
+            "min_ess": round(min_ess),
+            "ess_capped": capped,
+            "divergences": div,
+            "chains": num_chains,
+            "wall_s": round(dt, 3),
+            "note": "warmup(300)+sampling(200) both through the fused "
+                    "kernel; evals/ESS over sampling, time over the "
+                    "whole run",
+            "runs": TIMED_RUNS,
+            "stat": "median",
+        },
+    )
+
+
+def funnel_fused_riffled():
+    """Riffled per-chain step sizes on the self-tuning funnel run
+    (ROADMAP #4's kernel-level lever): factors {0.25, 0.5, 1, 2} tiled
+    across the fleet.  Reported next to the scalar run: total
+    divergences RISE (the factor-2 chains reject harder) but the
+    factor-0.25 chains recover the neck coverage no pooled eps reaches —
+    P(v < -4.5) = 6.68% in truth, ~0.2% scalar, several % riffled."""
+    from aehmc_tpu.models import neals_funnel_pg_t
+    from aehmc_tpu.ops.fused_driver import sample_fused_adaptive
+
+    dim, num_chains = 10, 8192
+    num_warmup, num_draws = 300, 200
+    potential_t, pg, data, _ = neals_funnel_pg_t(dim=dim)
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
+    )
+    factors = jnp.asarray(
+        np.tile([0.25, 0.5, 1.0, 2.0], num_chains // 4), jnp.float32
+    )
+    f = jax.jit(
+        lambda k: sample_fused_adaptive(
+            k, None, list(data), q0, num_draws, num_warmup,
+            potential_fn_t=potential_t, potential_and_grad_t=pg,
+            max_num_expansions=10, block_chains=1024,
+            target_acceptance_rate=0.85, sort_by_depth=True,
+            step_size_factors=factors,
+        )
+    )
+    out = f(jax.random.PRNGKey(1))
+    jax.block_until_ready(out[1])
+    dt, out = _median_time(lambda r: f(jax.random.PRNGKey(2 + r)))
+    _, pos, stats, eps, _ = out
+    stats = np.asarray(stats)
+    evals = int(stats[:, :, 3].sum())
+    v = np.asarray(pos)[:, :, 0]
+    low = np.asarray(factors) == 0.25
+    p_neck_all = float((v < -4.5).mean())
+    p_neck_low = float((v[:, low] < -4.5).mean())
+    ess_sec, min_ess, capped = _ess_per_sec(pos, dt)
+    log(
+        f"funnel_fused_riffled: eps {float(eps):.4f}, accept "
+        f"{stats[:, :, 1].mean():.3f}, div {int(stats[:, :, 4].sum())}, "
+        f"p(v<-4.5) {p_neck_all:.4f} (factor .25: {p_neck_low:.4f}, "
+        f"truth 0.0668), min ESS {min_ess:.0f}, wall {dt:.3f}s"
+    )
+    _emit(
+        "funnel_fused_riffled",
+        evals / dt,
+        "grad_evals/s",
+        {
+            "ess_per_sec": round(ess_sec),
+            "min_ess": round(min_ess),
+            "ess_capped": capped,
+            "divergences": int(stats[:, :, 4].sum()),
+            "chains": num_chains,
+            "wall_s": round(dt, 3),
+            "neck_p_all": round(p_neck_all, 4),
+            "neck_p_factor025": round(p_neck_low, 4),
+            "neck_p_truth": 0.0668,
+            "step_size_factors": [0.25, 0.5, 1.0, 2.0],
+            "runs": TIMED_RUNS,
+            "stat": "median",
+        },
+    )
+
+
 CONFIGS = {
     "readme_nuts": readme_nuts,
     "linreg_warmup": linreg_warmup,
@@ -1294,6 +1418,8 @@ CONFIGS = {
     "mvn25_dense_fused_adaptive": mvn25_dense_fused_adaptive,
     "nuts_fused_adaptive_10k": nuts_fused_adaptive_10k,
     "funnel_fused_adaptive": funnel_fused_adaptive,
+    "funnel_fused_riffled": funnel_fused_riffled,
+    "chees_fused_10k": chees_fused_10k,
     "flagship_end_to_end": flagship_end_to_end,
     "tpu_gates": tpu_gates,
 }

@@ -231,3 +231,57 @@ def test_adaptive_driver_dense_requires_transposed_kernel():
             jnp.zeros((8, 4), jnp.float32),
             is_mass_matrix_full=True,
         )
+
+
+def test_adaptive_driver_step_size_factors():
+    """step_size_factors riffles a per-chain ε through warmup AND
+    sampling: factors of 1.0 must reproduce the scalar run bitwise, and
+    distinct factors must leave every chain healthy while dual averaging
+    still tunes the pooled base against the pooled acceptance."""
+    chains, dim = 8, VAR.size
+    q0 = jax.random.normal(
+        jax.random.PRNGKey(7), (chains, dim), jnp.float32
+    ) * jnp.sqrt(jnp.asarray(VAR))
+    kwargs = dict(
+        num_samples=30,
+        num_warmup=50,
+        max_num_expansions=4,
+        block_chains=chains,
+        use_internal_prng=False,
+        interpret=True,
+        potential_fn_t=_potential_t,
+    )
+    base = sample_fused_adaptive(
+        jax.random.PRNGKey(8), None, [VAR.reshape(-1, 1)], q0, **kwargs,
+    )
+    ones = sample_fused_adaptive(
+        jax.random.PRNGKey(8), None, [VAR.reshape(-1, 1)], q0,
+        step_size_factors=jnp.ones(chains), **kwargs,
+    )
+    for a, b in zip(base, ones):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    factors = jnp.asarray(
+        np.tile([0.5, 1.5], chains // 2).astype(np.float32)
+    )
+    qf, pos, stats, eps, imm = sample_fused_adaptive(
+        jax.random.PRNGKey(8), None, [VAR.reshape(-1, 1)], q0,
+        step_size_factors=factors, **kwargs,
+    )
+    stats = np.asarray(stats)
+    assert 0.05 < float(eps) < 3.0
+    assert np.isfinite(np.asarray(pos)).all()
+    assert stats[:, :, 1].mean() > 0.4
+    # the low-factor chains run shorter steps -> deeper trees on average
+    leaves = stats[:, :, 3]
+    assert leaves[:, ::2].mean() >= leaves[:, 1::2].mean()
+
+
+def test_step_size_factors_require_transposed_kernel():
+    chains, dim = 8, VAR.size
+    q0 = jnp.zeros((chains, dim), jnp.float32)
+    with pytest.raises(ValueError, match="transposed"):
+        sample_fused_adaptive(
+            jax.random.PRNGKey(0), _potential, [VAR], q0,
+            step_size_factors=jnp.ones(chains), interpret=True,
+        )

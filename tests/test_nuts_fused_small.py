@@ -420,3 +420,112 @@ def test_small_kernel_dense_metric_external_prng_moments():
     np.testing.assert_allclose(flat.var(axis=0), 1.0, rtol=0.2)
     corr = np.corrcoef(flat[:, 0], flat[:, 1])[0, 1]
     assert abs(corr - rho) < 0.1
+
+
+def test_small_kernel_per_chain_eps_matches_oracle():
+    """PER-CHAIN step sizes: every chain in one block integrates with its
+    own ε (a (1, block) lane row in the transposed layout) and must
+    reproduce the oracle run at that chain's scalar ε exactly."""
+    max_exp = 4
+    var, im, q, p, dirs, ub, ul = _case(5, None, max_exp)
+    chains = q.shape[0]
+    rng = np.random.default_rng(17)
+    eps_vec = rng.uniform(0.05, 1.2, size=chains).astype(np.float32)
+
+    def potential_t(q_t, var_col):
+        return 0.5 * jnp.sum(q_t * q_t / var_col, axis=0)
+
+    transition = make_fused_nuts_transition_small(
+        potential_t, [jnp.asarray(var).reshape(-1, 1)],
+        max_num_expansions=max_exp, block_chains=chains, interpret=True,
+    )
+    U = 0.5 * np.sum(q.astype(np.float64) ** 2 / var, axis=-1)
+    G = (q.astype(np.float64) / var).astype(np.float32)
+    qo, uo, go, stats = transition(
+        jnp.asarray(q), jnp.asarray(U.astype(np.float32)),
+        jnp.asarray(G), jnp.asarray(p), jnp.asarray(dirs),
+        jnp.asarray(ub), jnp.asarray(ul), jnp.asarray(im),
+        jnp.asarray(eps_vec),
+    )
+    qo, stats = np.asarray(qo), np.asarray(stats)
+
+    def pot_np(qq):
+        return 0.5 * np.sum(qq * qq / var)
+
+    def grad_np(qq):
+        return qq / var
+
+    for i in range(chains):
+        ref = nuts_transition_oracle_generic(
+            pot_np, grad_np, q[i], p[i], im, float(eps_vec[i]), dirs[i],
+            ub[i], ul[i], max_exp,
+        )
+        assert np.max(np.abs(qo[i] - ref["position"])) < 1e-3, i
+        assert int(stats[i, 2]) == ref["num_doublings"], i
+        assert int(stats[i, 3]) == ref["num_integration_steps"], i
+        assert int(stats[i, 4]) == int(ref["is_diverging"]), i
+        assert int(stats[i, 5]) == int(ref["is_turning"]), i
+
+
+def test_small_kernel_per_chain_eps_all_equal_matches_scalar():
+    """A constant per-chain ε vector must take bitwise-identical
+    decisions to the scalar-SMEM ε path."""
+    eps, max_exp = 0.4, 4
+    var, im, q, p, dirs, ub, ul = _case(9, eps, max_exp)
+    chains = q.shape[0]
+
+    def potential_t(q_t, var_col):
+        return 0.5 * jnp.sum(q_t * q_t / var_col, axis=0)
+
+    transition = make_fused_nuts_transition_small(
+        potential_t, [jnp.asarray(var).reshape(-1, 1)],
+        max_num_expansions=max_exp, block_chains=chains, interpret=True,
+    )
+    U = (0.5 * np.sum(q.astype(np.float64) ** 2 / var, axis=-1)).astype(
+        np.float32
+    )
+    G = (q.astype(np.float64) / var).astype(np.float32)
+    args = (
+        jnp.asarray(q), jnp.asarray(U), jnp.asarray(G), jnp.asarray(p),
+        jnp.asarray(dirs), jnp.asarray(ub), jnp.asarray(ul),
+        jnp.asarray(im),
+    )
+    q_s, _, _, s_s = transition(*args, jnp.asarray(eps, jnp.float32))
+    q_v, _, _, s_v = transition(
+        *args, jnp.full((chains,), eps, jnp.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(q_s), np.asarray(q_v))
+    np.testing.assert_array_equal(np.asarray(s_s), np.asarray(s_v))
+
+
+def test_sample_fused_small_per_chain_eps_rides_depth_sort():
+    """With sort_by_depth, a per-chain ε must FOLLOW its chain through
+    the block permutation: give half the fleet a diverging ε (1e6) and
+    half a tiny one — after the first draw separates the depths (and
+    therefore reorders the blocks), the divergence pattern must still
+    track the chains, not the slots."""
+    from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
+
+    dim, chains, draws = 4, 16, 6
+    var = np.linspace(0.5, 2.0, dim).astype(np.float32)
+
+    def potential_t(q_t, var_col):
+        return 0.5 * jnp.sum(q_t * q_t / var_col, axis=0)
+
+    q0 = 0.5 * jax.random.normal(
+        jax.random.PRNGKey(4), (chains, dim), jnp.float32
+    )
+    eps_vec = np.full(chains, 0.05, np.float32)
+    eps_vec[chains // 2:] = 1e6  # these chains always diverge at leaf 1
+    _, _, stats = jax.jit(
+        lambda k: sample_fused_small(
+            k, potential_t, [jnp.asarray(var).reshape(-1, 1)], q0, draws,
+            jnp.asarray(eps_vec), jnp.ones(dim, jnp.float32),
+            max_num_expansions=4, block_chains=8,
+            internal_prng=False, sort_by_depth=True, _interpret=True,
+        )
+    )(jax.random.PRNGKey(5))
+    stats = np.asarray(stats)  # (draws, chains, 8)
+    div = stats[:, :, 4]
+    assert np.all(div[:, chains // 2:] == 1.0)
+    assert np.all(div[:, : chains // 2] == 0.0)

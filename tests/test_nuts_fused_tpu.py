@@ -206,3 +206,73 @@ def test_adaptive_driver_recovers_variances():
     accept = stats[:, :, 1].mean()
     assert 0.6 < accept < 0.95  # tuned toward the 0.8 target
     _check_moments(positions)
+
+
+@requires_tpu
+def test_fused_chees_internal_prng_moments():
+    """The fused ChEES megakernel with in-kernel PRNG, driven end-to-end
+    by the ChEES adaptation stack (warmup tunes eps + trajectory length +
+    diag mass; sampling stays Halton-jittered): posterior moments on the
+    diag Gaussian and per-seed determinism."""
+    from aehmc_tpu.ops.chees_fused import sample_fused_chees_adaptive
+
+    def potential_t(q_t, var_col):
+        return 0.5 * jnp.sum(q_t * q_t / var_col, axis=0)
+
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(10), (CHAINS, DIM), jnp.float32
+    )
+    run = jax.jit(
+        lambda k: sample_fused_chees_adaptive(
+            k, potential_t, [jnp.asarray(VAR).reshape(-1, 1)], q0,
+            DRAWS, 300, block_chains=CHAINS,
+            max_num_integration_steps=64,
+        )
+    )
+    _, positions, infos, wres = run(jax.random.PRNGKey(11))
+    accept = np.asarray(infos.acceptance_probability)
+    assert accept.mean() > 0.5
+    assert np.asarray(infos.is_diverging).sum() == 0
+    assert 0.05 < float(wres.step_size) < 3.0
+    _check_moments(positions)
+    _, positions2, _, _ = run(jax.random.PRNGKey(11))
+    np.testing.assert_array_equal(
+        np.asarray(positions), np.asarray(positions2)
+    )
+
+
+@requires_tpu
+def test_riffled_step_sizes_funnel_neck_coverage():
+    """Riffled per-chain step sizes on the funnel (ROADMAP #4's
+    kernel-level lever): the low-factor chains must recover the neck
+    coverage a single pooled eps cannot reach.  v ~ N(0, 3) gives
+    P(v < -4.5) = 6.68%; the scalar-eps run measures ~0.2-0.5% at this
+    budget while factor-0.25 chains measure several percent (A/B logged
+    in PERF.md round 3)."""
+    from aehmc_tpu.models import neals_funnel_pg_t
+    from aehmc_tpu.ops.fused_driver import sample_fused_adaptive
+
+    dim, chains = 10, 512
+    potential_t, pg, data, _ = neals_funnel_pg_t(dim=dim)
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(12), (chains, dim), jnp.float32
+    )
+    factors = jnp.asarray(
+        np.tile([0.25, 0.5, 1.0, 2.0], chains // 4), jnp.float32
+    )
+    _, positions, stats, eps, _ = jax.jit(
+        lambda k: sample_fused_adaptive(
+            k, None, list(data), q0, 400, 300,
+            potential_fn_t=potential_t, potential_and_grad_t=pg,
+            max_num_expansions=10, block_chains=chains,
+            target_acceptance_rate=0.85, sort_by_depth=True,
+            step_size_factors=factors,
+        )
+    )(jax.random.PRNGKey(13))
+    stats = np.asarray(stats)
+    v = np.asarray(positions)[50:, :, 0]
+    low = np.asarray(factors) == 0.25
+    # low-factor chains reach the neck (scalar runs measure ~0.002-0.005)
+    assert (v[:, low] < -4.5).mean() > 0.02
+    # and pay for it with higher acceptance than the high-factor chains
+    assert stats[:, low, 1].mean() > stats[:, ~low, 1].mean()
