@@ -115,9 +115,15 @@ def _make_chees_kernel_t(pot_grad_builder_t: Callable, n_data: int, *,
             pltpu.prng_seed(
                 seed_ref[0] + pl.program_id(0) * BLOCK_SEED_STRIDE
             )
-            v1 = _uniform_from_bits(pltpu.prng_random_bits((dim, blk)))
-            v2 = _uniform_from_bits(pltpu.prng_random_bits((dim, blk)))
-            z = jnp.sqrt(-2.0 * jnp.log(v1)) * jnp.cos(2.0 * jnp.pi * v2)
+            # full Box-Muller: (r·cos, r·sin) — two normals per pair
+            half = (dim + 1) // 2
+            v1 = _uniform_from_bits(pltpu.prng_random_bits((half, blk)))
+            v2 = _uniform_from_bits(pltpu.prng_random_bits((half, blk)))
+            r = jnp.sqrt(-2.0 * jnp.log(v1))
+            ang = 2.0 * jnp.pi * v2
+            z = jnp.concatenate(
+                [r * jnp.cos(ang), r * jnp.sin(ang)], axis=0
+            )[:dim]
             if dense_metric:
                 p0 = jax.lax.dot_general(
                     ms_ref[:], z, (((1,), (0,)), ((), ())),
@@ -157,7 +163,11 @@ def _make_chees_kernel_t(pot_grad_builder_t: Callable, n_data: int, *,
         acc = (u_acc < p_acc).astype(jnp.float32)
 
         def blend(m, a, b):
-            return m * a + (1.0 - m) * b
+            # true select — rejected proposals may carry inf positions
+            # (overflowed trajectories), which a multiply blend would
+            # turn into NaN (0*inf); the (1, blk) predicate
+            # sublane-broadcasts in this layout
+            return jnp.where(m > 0.5, a, b)
 
         q_out[:] = blend(acc, qL, q0)
         u_out[:] = blend(acc, uL, u0)
@@ -339,6 +349,85 @@ def make_fused_chees_transition(
     return transition
 
 
+def shard_fused_chees_transition(
+    transition: Callable,
+    mesh,
+    num_chains: int,
+    block_chains: int,
+) -> Callable:
+    """Wrap a fused ChEES transition in ``shard_map`` over the chain
+    axis — the ChEES twin of
+    :func:`aehmc_tpu.ops.fused_driver.shard_fused_transition`.  Each
+    device runs the local ``pallas_call`` on its chain shard; in-kernel
+    PRNG streams are indexed by GLOBAL block (``seed + device *
+    blocks_per_device * BLOCK_SEED_STRIDE``), so results are bitwise
+    mesh-shape-invariant and equal to the unsharded run as long as
+    ``block_chains`` divides the per-device chain count.  Cross-chain
+    work (the ChEES criterion gradient, pooled acceptance) stays OUTSIDE
+    at jit level where GSPMD lowers the fixed-tree reductions to ICI
+    collectives.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_devices = mesh.devices.size
+    if num_chains % n_devices:
+        raise ValueError(
+            f"{num_chains} chains do not shard over {n_devices} devices"
+        )
+    local_chains = num_chains // n_devices
+    if local_chains % min(block_chains, local_chains):
+        raise ValueError(
+            f"block_chains={block_chains} does not tile the per-device "
+            f"chain count {local_chains}"
+        )
+    blocks_per_device = local_chains // min(block_chains, local_chains)
+
+    chain_spec = P(mesh.axis_names)
+    rep = P()
+
+    def _device_index():
+        idx = jnp.asarray(0, jnp.int32)
+        for ax in mesh.axis_names:
+            idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+        return idx
+
+    def sharded(q, u, g, p, uacc, imm, eps, num_steps, seed=None):
+        internal = seed is not None
+        rand_spec = rep if internal else chain_spec
+        eps_spec = (
+            chain_spec
+            if jnp.ndim(eps) > 0 and jnp.size(eps) > 1
+            else rep
+        )
+
+        def local(q, u, g, p, uacc, imm, eps, num_steps, seed):
+            if internal:
+                seed = (
+                    jnp.asarray(seed, jnp.int32)
+                    + _device_index()
+                    * (blocks_per_device * BLOCK_SEED_STRIDE)
+                )
+            return transition(
+                q, u, g, p, uacc, imm, eps, num_steps,
+                seed=seed if internal else None,
+            )
+
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                chain_spec, chain_spec, chain_spec,
+                rand_spec, rand_spec,
+                rep, eps_spec, rep, rep,
+            ),
+            out_specs=(chain_spec,) * 6,
+            check_rep=False,
+        )(q, u, g, p, uacc, imm, eps, num_steps, seed)
+
+    return sharded
+
+
 class _CheesInfoLite(NamedTuple):
     # field-compatible with aehmc_tpu.chees.CheesInfo
     acceptance_probability: jax.Array
@@ -359,6 +448,8 @@ def make_fused_chees_kernel(
     potential_and_grad_t: Callable = None,
     use_internal_prng: bool = True,
     step_size_factors: jax.Array = None,
+    mesh=None,
+    num_chains: int = None,
 ) -> Callable:
     """Adapt the fused transition to the ``kernel_fn`` contract of
     :func:`aehmc_tpu.chees.warmup_hooks` / :func:`aehmc_tpu.chees.sample`:
@@ -371,7 +462,10 @@ def make_fused_chees_kernel(
     the accept uniform with ``jax.random`` (required in interpret mode).
     ``step_size_factors`` riffles a fixed per-chain multiplier onto every
     step size the adaptation proposes (see
-    ``sample_fused_adaptive(step_size_factors=...)``).
+    ``sample_fused_adaptive(step_size_factors=...)``).  Pass ``mesh``
+    (with ``num_chains``) to run the kernel per-device under
+    ``shard_map`` with global-block PRNG seed offsets
+    (:func:`shard_fused_chees_transition`).
     """
     transition = make_fused_chees_transition(
         potential_fn_t, data,
@@ -380,6 +474,13 @@ def make_fused_chees_kernel(
         interpret=interpret,
         potential_and_grad_t=potential_and_grad_t,
     )
+    if mesh is not None:
+        if num_chains is None:
+            raise ValueError("mesh= requires num_chains=")
+        transition = shard_fused_chees_transition(
+            transition, mesh, num_chains,
+            min(block_chains, num_chains // mesh.devices.size),
+        )
 
     def kernel_fn(key, states, step_size, num_integration_steps,
                   inverse_mass_matrix):
@@ -454,12 +555,16 @@ def sample_fused_chees_adaptive(
     collect_positions: bool = True,
     use_internal_prng: bool = True,
     step_size_factors: jax.Array = None,
+    mesh=None,
     interpret: bool = False,
 ):
     """One-call fused ChEES driver: warmup (step size + trajectory length
     + diag mass matrix) and sampling both through the megakernel.
 
-    Returns ``(final_positions, positions, infos, warmup_result)`` where
+    Pass ``mesh`` to shard the chain axis across devices (the kernel
+    runs per-device under ``shard_map``; the ChEES-gradient and pooled
+    reductions cross devices as ICI collectives).  Returns
+    ``(final_positions, positions, infos, warmup_result)`` where
     ``infos`` is a :class:`aehmc_tpu.chees.CheesSampleInfo` and
     ``warmup_result`` a :class:`aehmc_tpu.chees.CheesWarmupResult`.
     """
@@ -483,6 +588,8 @@ def sample_fused_chees_adaptive(
         potential_and_grad_t=potential_and_grad_t,
         use_internal_prng=use_internal_prng,
         step_size_factors=step_size_factors,
+        mesh=mesh,
+        num_chains=num_chains,
     )
 
     rows = [_as_data_row(d) for d in data]

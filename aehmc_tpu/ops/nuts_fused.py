@@ -132,7 +132,14 @@ def _transition_core(q0, u0_col, g0, p0, dirs_vals, ubias_vals, uleaf_vals,
         return x * ones_row
 
     def blend(m, a, b):
-        return m * a + (1.0 - m) * b
+        # true select: m is a lane-replicated (bc, D) 0/1 mask — FULL
+        # operand shape, so no predicate broadcast is needed (the
+        # select_n lane-broadcast limitation in this file's docstring is
+        # about (bc, 1) predicates).  One VPU op instead of three, and
+        # inf/NaN in masked lanes (overflowed trajectories of diverged
+        # chains) cannot contaminate the kept value (0*inf = NaN under
+        # the old multiply blend).
+        return jnp.where(m > 0.5, a, b)
 
     def _column(vals, j):
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, vals.shape[1]), 1)
@@ -298,7 +305,9 @@ def _transition_core(q0, u0_col, g0, p0, dirs_vals, ubias_vals, uleaf_vals,
             last1 = tuple(
                 blend(keep_a, n, o) for n, o in zip(a_state, last)
             )
-            psum1 = s_psum + keep_a * ap
+            # select, not s_psum + keep*ap: ap may be inf/NaN in masked
+            # lanes (see blend)
+            psum1 = blend(keep_a, psum_a_raw, s_psum)
             len1 = s_len + keep_a
             div1 = s_div + keep_a * div_a
             active1 = s_active * (1.0 - div_a)
@@ -339,7 +348,7 @@ def _transition_core(q0, u0_col, g0, p0, dirs_vals, ubias_vals, uleaf_vals,
             last2 = tuple(
                 blend(keep_b, n, o) for n, o in zip(b_state, last1)
             )
-            psum2 = psum1 + keep_b * bp
+            psum2 = blend(keep_b, psum1 + bp, psum1)
             len2 = len1 + keep_b
             div2 = div1 + keep_b * div_b
             term2 = s_term + keep_b * term_b
@@ -408,9 +417,15 @@ def _draw_randomness(bc, dim, max_exp, im):
     """In-kernel randomness for one transition: momentum (Box-Muller),
     directions, per-doubling and per-leaf uniforms.  The PRNG must have
     been seeded by the caller."""
-    v1 = _uniform_from_bits(pltpu.prng_random_bits((bc, dim)))
-    v2 = _uniform_from_bits(pltpu.prng_random_bits((bc, dim)))
-    z = jnp.sqrt(-2.0 * jnp.log(v1)) * jnp.cos(2.0 * jnp.pi * v2)
+    # full Box-Muller: each (v1, v2) pair yields two normals (r·cos,
+    # r·sin) — half the PRNG bits and log/sqrt of the cos-only form.
+    # Pair along the sublane (chain) axis: dim rides the lanes here.
+    half_bc = (bc + 1) // 2
+    v1 = _uniform_from_bits(pltpu.prng_random_bits((half_bc, dim)))
+    v2 = _uniform_from_bits(pltpu.prng_random_bits((half_bc, dim)))
+    r = jnp.sqrt(-2.0 * jnp.log(v1))
+    ang = 2.0 * jnp.pi * v2
+    z = jnp.concatenate([r * jnp.cos(ang), r * jnp.sin(ang)], axis=0)[:bc]
     p0 = jnp.sqrt(1.0 / im) * z
     dirs_vals = jnp.where(
         _uniform_from_bits(pltpu.prng_random_bits((bc, max_exp))) < 0.5,

@@ -67,7 +67,8 @@ def _as_data_row(d):
 
 def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
                        uleaf_ref, apply_im, eps, raw_pot_grad_t, ck_p, ck_s,
-                       *, max_exp: int, divergence_threshold: float):
+                       *, max_exp: int, divergence_threshold: float,
+                       _ablate: tuple = ()):
     """One NUTS transition, transposed layout.
 
     Chain-state arrays are (dim, block); per-chain scalars (1, block);
@@ -83,8 +84,15 @@ def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
     blk = q0.shape[1]
 
     def blend(m, a, b):
-        # m: (1, blk) sublane-broadcasts over (dim, blk)
-        return m * a + (1.0 - m) * b
+        # m: (1, blk) 0/1 row; a TRUE select, not a multiply-add blend.
+        # In this layout the predicate sublane-broadcasts over
+        # (dim, blk) — the direction Mosaic supports (the standard
+        # kernel's lane-broadcast limitation does not apply) — and a
+        # select keeps inf/NaN in masked lanes from contaminating the
+        # kept value (0*inf = NaN under a multiply blend; positions and
+        # momenta of diverged chains can overflow while the rest of the
+        # block keeps integrating).  Also one VPU op instead of three.
+        return jnp.where(m > 0.5, a, b)
 
     def row(ref, j):
         return ref[pl.ds(j, 1), :]
@@ -199,6 +207,9 @@ def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
             # its checkpoint slot, odd leaf checks; both share one
             # popcount slot index
             (i, last, sprop, s_psum, s_active, s_div, s_term, s_len) = sc
+            if "empty_sub" in _ablate:  # timing ablation: no leaf work
+                return (i + 2, last, sprop, s_psum, s_active * 0.0,
+                        s_div, s_term, s_len + s_active)
             m_idx = _popcount_scalar(i >> 1)
 
             a_state, energy_a, div_a, take_a, m_w_a, m_slpa_a = (
@@ -206,20 +217,31 @@ def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
             )
             ap = a_state[1]
             psum_a_raw = s_psum + ap
-            ck_p[pl.ds(m_idx, 1), :, :] = ap[None]
-            ck_s[pl.ds(m_idx, 1), :, :] = psum_a_raw[None]
+            if "no_ckpt" not in _ablate:
+                ck_p[pl.ds(m_idx, 1), :, :] = ap[None]
+                ck_s[pl.ds(m_idx, 1), :, :] = psum_a_raw[None]
 
             keep_a = s_active
-            sprop1 = _merge_leaf(
-                sprop, a_state, energy_a, take_a, m_w_a, m_slpa_a, keep_a
-            )
+            if "no_merge" in _ablate:
+                sprop1 = sprop
+            else:
+                sprop1 = _merge_leaf(
+                    sprop, a_state, energy_a, take_a, m_w_a, m_slpa_a,
+                    keep_a,
+                )
             last1 = tuple(
                 blend(keep_a, n, o) for n, o in zip(a_state, last)
             )
-            psum1 = s_psum + keep_a * ap
+            # select, not s_psum + keep*ap: ap may be inf/NaN in masked
+            # lanes (see blend)
+            psum1 = blend(keep_a, psum_a_raw, s_psum)
             len1 = s_len + keep_a
             div1 = s_div + keep_a * div_a
             active1 = s_active * (1.0 - div_a)
+
+            if "no_b_leaf" in _ablate:  # timing ablation (eps=1000 only)
+                return (i + 2, last1, sprop1, psum1, active1 * 0.0,
+                        div1, s_term, len1)
 
             valid_b = i + 1 < nleaf
             b_state, energy_b, div_b, take_b, m_w_b, m_slpa_b = (
@@ -243,7 +265,10 @@ def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
                 t_r = jnp.sum(bp * v, axis=0, keepdims=True) <= 0
                 return jnp.maximum(t_acc, (t_l | t_r).astype(jnp.float32))
 
-            term_b = jax.lax.fori_loop(lo, hi, check_body, zero_s)
+            if "no_ckpt" in _ablate:
+                term_b = zero_s
+            else:
+                term_b = jax.lax.fori_loop(lo, hi, check_body, zero_s)
 
             vb = jnp.where(valid_b, 1.0, 0.0)
             keep_b = active1 * vb
@@ -253,7 +278,7 @@ def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
             last2 = tuple(
                 blend(keep_b, n, o) for n, o in zip(b_state, last1)
             )
-            psum2 = psum1 + keep_b * bp
+            psum2 = blend(keep_b, psum1 + bp, psum1)
             len2 = len1 + keep_b
             div2 = div1 + keep_b * div_b
             term2 = s_term + keep_b * term_b
@@ -263,9 +288,48 @@ def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
             return (i + 2, last2, sprop2, psum2, active2, div2, term2,
                     len2)
 
-        (_, last, sprop, s_psum, _, s_div, s_term, s_len) = (
-            jax.lax.while_loop(sub_cond, sub_body, sub_init)
+        def run_paired():
+            (_, last, sprop_, s_psum, _, s_div, s_term, s_len) = (
+                jax.lax.while_loop(sub_cond, sub_body, sub_init)
+            )
+            return last, sprop_, s_psum, s_div, s_term, s_len
+
+        def run_single():
+            # d == 0: the subtree is ONE leaf — the paired body's A-half
+            # with the B-half dropped.  Bitwise-identical to the paired
+            # path (selects make the masked B contributions vanish
+            # exactly; the checkpoint write at slot 0 is never read by a
+            # later check because every subtree writes every slot it
+            # reads), and saves the always-computed masked B gradient —
+            # one of the two biggest per-draw fixed-cost line items
+            # (PERF.md round-3-late ablation).
+            (i0, last0, sprop0, psum0, act0, _, term0, len0) = sub_init
+            a_state, energy_a, _div_a, take_a, m_w_a, m_slpa_a = (
+                _leaf_quantities(last0, i0, sprop0[4], sprop0[5], i0 == 0)
+            )
+            keep_a = act0
+            sprop1 = _merge_leaf(
+                sprop0, a_state, energy_a, take_a, m_w_a, m_slpa_a,
+                keep_a,
+            )
+            last1 = tuple(
+                blend(keep_a, n, o) for n, o in zip(a_state, last0)
+            )
+            psum1 = blend(keep_a, psum0 + a_state[1], psum0)
+            return (last1, sprop1, psum1, keep_a * _div_a, term0,
+                    len0 + keep_a)
+
+        (last, sprop, s_psum, s_div, s_term, s_len) = jax.lax.cond(
+            nleaf == 1, run_single, run_paired
         )
+
+        if "no_epilogue" in _ablate:  # timing ablation: skip doubling
+            # bookkeeping (edge swaps, biased merge, U-turn, picks)
+            return (
+                d + 1, prop, left, right, psum,
+                active * (1.0 - jnp.minimum(s_div + s_term, 1.0)),
+                s_div, turn, accept, leaves + s_len, doublings + active,
+            )
 
         lq, lp, lu, lg = last
         new_left = tuple(
@@ -320,7 +384,7 @@ def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
 def _make_kernel_t(pot_grad_builder_t: Callable, n_data: int, *,
                    max_exp: int, divergence_threshold: float,
                    internal_prng: bool, dense_metric: bool = False,
-                   per_chain_eps: bool = False):
+                   per_chain_eps: bool = False, _ablate: tuple = ()):
     def _kernel(*args):
         if internal_prng:
             (eps_ref, seed_ref, q_ref, u0_ref, g_ref), refs = (
@@ -368,30 +432,47 @@ def _make_kernel_t(pot_grad_builder_t: Callable, n_data: int, *,
 
         if internal_prng:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * BLOCK_SEED_STRIDE)
-            v1 = _uniform_from_bits(pltpu.prng_random_bits((dim, blk)))
-            v2 = _uniform_from_bits(pltpu.prng_random_bits((dim, blk)))
-            z = jnp.sqrt(-2.0 * jnp.log(v1)) * jnp.cos(2.0 * jnp.pi * v2)
-            if dense_metric:
-                # momentum ~ N(0, M): p = L^{-T} z with L = chol(M^{-1})
-                p0 = jax.lax.dot_general(
-                    ms_ref[:], z, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+            if "no_momentum" in _ablate:  # timing ablation
+                p0 = jnp.sqrt(1.0 / im_col) * (q_ref[:] * 0.0 + 0.5)
             else:
-                p0 = jnp.sqrt(1.0 / im_col) * z
-            dirs_ref[:] = jnp.where(
-                _uniform_from_bits(
+                # full Box-Muller: each (v1, v2) pair yields TWO normals
+                # (r·cos, r·sin), halving the PRNG bits and the log/sqrt
+                # relative to the cos-only form (momentum generation was
+                # ~0.11 ms/draw of the flagship's fixed cost)
+                half = (dim + 1) // 2
+                v1 = _uniform_from_bits(
+                    pltpu.prng_random_bits((half, blk))
+                )
+                v2 = _uniform_from_bits(
+                    pltpu.prng_random_bits((half, blk))
+                )
+                r = jnp.sqrt(-2.0 * jnp.log(v1))
+                ang = 2.0 * jnp.pi * v2
+                z = jnp.concatenate(
+                    [r * jnp.cos(ang), r * jnp.sin(ang)], axis=0
+                )[:dim]
+                if dense_metric:
+                    # momentum ~ N(0, M): p = L^{-T} z, L = chol(M^{-1})
+                    p0 = jax.lax.dot_general(
+                        ms_ref[:], z, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    p0 = jnp.sqrt(1.0 / im_col) * z
+            if "no_streams" not in _ablate:  # timing ablation
+                dirs_ref[:] = jnp.where(
+                    _uniform_from_bits(
+                        pltpu.prng_random_bits((max_exp, blk))
+                    ) < 0.5,
+                    -1.0,
+                    1.0,
+                )
+                ubias_ref[:] = _uniform_from_bits(
                     pltpu.prng_random_bits((max_exp, blk))
-                ) < 0.5,
-                -1.0,
-                1.0,
-            )
-            ubias_ref[:] = _uniform_from_bits(
-                pltpu.prng_random_bits((max_exp, blk))
-            )
-            uleaf_ref[:] = _uniform_from_bits(
-                pltpu.prng_random_bits((2**max_exp, blk))
-            )
+                )
+                uleaf_ref[:] = _uniform_from_bits(
+                    pltpu.prng_random_bits((2**max_exp, blk))
+                )
         else:
             p0 = p_ref[:]
 
@@ -400,6 +481,7 @@ def _make_kernel_t(pot_grad_builder_t: Callable, n_data: int, *,
             dirs_ref, ubias_ref, uleaf_ref,
             apply_im, eps, raw_pot_grad_t, ck_p, ck_s,
             max_exp=max_exp, divergence_threshold=divergence_threshold,
+            _ablate=_ablate,
         )
 
         q_out[:] = prop[0]
@@ -423,6 +505,8 @@ def make_fused_nuts_transition_small(
     block_chains: int = 1024,
     interpret: bool = False,
     potential_and_grad_t: Callable = None,
+    transposed_io: bool = False,
+    _ablate: tuple = (),
 ) -> Callable:
     """GENERIC transposed-layout fused NUTS transition for small dims.
 
@@ -452,6 +536,14 @@ def make_fused_nuts_transition_small(
     Returns ``transition(q, potential, grad, momentum, directions,
     u_bias, u_leaf, inverse_mass, step_size, seed=None)`` exactly like
     :func:`aehmc_tpu.ops.nuts_fused.make_fused_nuts_transition`.
+
+    ``transposed_io=True`` keeps the PUBLIC contract in the kernel's own
+    layout — ``q``/``grad``/``momentum`` as (dim, chains), ``potential``
+    as (1, chains), the random streams as (K-or-L, chains), stats as
+    (8, chains) — skipping the boundary transposes entirely.  The
+    sampling loop uses this internally: re-transposing the carry every
+    draw (and every collected draw) costs ~0.2 ms/draw at the flagship
+    shape, ~20% of a tuned draw.
     """
 
     if potential_and_grad_t is None:
@@ -472,7 +564,10 @@ def make_fused_nuts_transition_small(
 
     def transition(q, potential, grad, momentum, directions, u_bias,
                    u_leaf, inverse_mass, step_size, seed=None):
-        num_chains, dim = q.shape
+        if transposed_io:
+            dim, num_chains = q.shape
+        else:
+            num_chains, dim = q.shape
         K = max_num_expansions
         lmax = 2**max_num_expansions
         assert max_num_expansions <= 14
@@ -518,6 +613,7 @@ def make_fused_nuts_transition_small(
             internal_prng=internal_prng,
             dense_metric=dense_metric,
             per_chain_eps=per_chain_eps,
+            _ablate=_ablate,
         )
         colblk = lambda rows: pl.BlockSpec(  # noqa: E731
             (rows, blk), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -530,11 +626,18 @@ def make_fused_nuts_transition_small(
             else pl.BlockSpec(memory_space=pltpu.SMEM)
         )
         state_specs = [colblk(dim), colblk(1), colblk(dim)]
-        state_args = [
-            q.T.astype(jnp.float32),
-            potential.reshape(1, num_chains).astype(jnp.float32),
-            grad.T.astype(jnp.float32),
-        ]
+        if transposed_io:
+            state_args = [
+                q.astype(jnp.float32),
+                potential.reshape(1, num_chains).astype(jnp.float32),
+                grad.astype(jnp.float32),
+            ]
+        else:
+            state_args = [
+                q.T.astype(jnp.float32),
+                potential.reshape(1, num_chains).astype(jnp.float32),
+                grad.T.astype(jnp.float32),
+            ]
         if internal_prng:
             in_specs = [
                 eps_spec,
@@ -550,13 +653,22 @@ def make_fused_nuts_transition_small(
                 *state_specs,
                 colblk(dim), colblk(K), colblk(K), colblk(lmax),
             ]
-            in_args = [
-                eps, *state_args,
-                momentum.T.astype(jnp.float32),
-                directions.T.astype(jnp.float32),
-                u_bias.T.astype(jnp.float32),
-                u_leaf.T.astype(jnp.float32),
-            ]
+            if transposed_io:
+                in_args = [
+                    eps, *state_args,
+                    momentum.astype(jnp.float32),
+                    directions.astype(jnp.float32),
+                    u_bias.astype(jnp.float32),
+                    u_leaf.astype(jnp.float32),
+                ]
+            else:
+                in_args = [
+                    eps, *state_args,
+                    momentum.T.astype(jnp.float32),
+                    directions.T.astype(jnp.float32),
+                    u_bias.T.astype(jnp.float32),
+                    u_leaf.T.astype(jnp.float32),
+                ]
         qt, ut, gt, stats_t = pl.pallas_call(
             kernel,
             grid=grid,
@@ -595,6 +707,8 @@ def make_fused_nuts_transition_small(
             interpret=interpret,
         )(*in_args, *data_rows, im_arg,
           *([mass_sqrt] if dense_metric and internal_prng else []))
+        if transposed_io:
+            return qt, ut, gt, stats_t
         # back to the standard layout; stats columns as in nuts_fused
         return qt.T, ut.reshape(num_chains, 1), gt.T, stats_t.T
 
@@ -660,6 +774,11 @@ def sample_fused_small(
     else:
         mass_sqrt = jnp.sqrt(1.0 / inverse_mass)
 
+    # the scan carries the TRANSPOSED state (dim, chains) and collects
+    # transposed draws: re-transposing the carry + each collected draw
+    # every iteration costs ~0.2 ms/draw at the flagship shape; one bulk
+    # transpose after the scan restores the public (draws, chains, dim)
+    # contract
     transition = make_fused_nuts_transition_small(
         potential_fn_t, data,
         max_num_expansions=max_num_expansions,
@@ -667,65 +786,74 @@ def sample_fused_small(
         block_chains=block_chains,
         interpret=_interpret,
         potential_and_grad_t=potential_and_grad_t,
+        transposed_io=True,
     )
 
     rows = [_as_data_row(d) for d in data]
+    q0_t = initial_positions.T.astype(jnp.float32)
     if potential_and_grad_t is not None:
         # same ũ as the in-kernel path (mixed-precision passes included)
-        u0, g0_t = potential_and_grad_t(
-            initial_positions.T.astype(jnp.float32), *rows
-        )
-        u0 = u0.reshape(-1)
+        u0, g0_t = potential_and_grad_t(q0_t, *rows)
     else:
         u0, pull = jax.vjp(
-            lambda qq: potential_fn_t(qq, *rows),
-            initial_positions.T.astype(jnp.float32),
+            lambda qq: potential_fn_t(qq, *rows), q0_t
         )
         (g0_t,) = pull(jnp.ones_like(u0))
-    u0 = u0.reshape(num_chains, 1)
-    g0 = g0_t.T
+    u0 = u0.reshape(1, num_chains)
 
     depth0 = jnp.zeros((num_chains,), jnp.float32)
 
-    def _maybe_sort(q, u, g, depth):
+    def _maybe_sort(q_t, u, g_t, depth):
         if not sort_by_depth:
-            return (q, u, g), None, step_size
+            return (q_t, u, g_t), None, step_size
         order = jnp.argsort(depth)
         # a per-chain step size is a property of the CHAIN, so it rides
         # the same permutation into the sorted block layout
         eps_step = step_size[order] if per_chain_eps else step_size
-        return (q[order], u[order], g[order]), jnp.argsort(order), eps_step
+        return (
+            (q_t[:, order], u[:, order], g_t[:, order]),
+            jnp.argsort(order),
+            eps_step,
+        )
 
     def _unsort(inv, *arrays):
         if inv is None:
             return arrays
-        return tuple(a[inv] for a in arrays)
+        return tuple(a[:, inv] for a in arrays)
+
+    def _finish(qf_t, positions_t, stats_t):
+        qf = qf_t.T
+        stats = jnp.swapaxes(stats_t, 1, 2)
+        if positions_t is None:
+            return qf, None, stats
+        return qf, jnp.swapaxes(positions_t, 1, 2), stats
 
     if internal_prng:
 
         def one_seeded(carry, seed):
-            q, u, g, depth = carry
-            (q, u, g), inv, eps_step = _maybe_sort(q, u, g, depth)
+            q_t, u, g_t, depth = carry
+            (q_t, u, g_t), inv, eps_step = _maybe_sort(q_t, u, g_t, depth)
             qn, un, gn, stats = transition(
-                q, u, g, None, None, None, None, inverse_mass, eps_step,
-                seed=seed,
+                q_t, u, g_t, None, None, None, None, inverse_mass,
+                eps_step, seed=seed,
             )
             qn, un, gn, stats = _unsort(inv, qn, un, gn, stats)
             out = qn if collect_positions else None
-            return (qn, un, gn, stats[:, 2]), (out, stats)
+            return (qn, un, gn, stats[2]), (out, stats)
 
         seeds = derive_draw_seeds(rng_key, num_samples)
-        (qf, _, _, _), (positions, stats) = jax.lax.scan(
-            one_seeded,
-            (initial_positions.astype(jnp.float32), u0, g0, depth0),
-            seeds,
+        (qf_t, _, _, _), (positions_t, stats_t) = jax.lax.scan(
+            one_seeded, (q0_t, u0, g0_t, depth0), seeds
         )
-        return qf, positions, stats
+        return _finish(qf_t, positions_t, stats_t)
 
     def one(carry, k):
-        q, u, g, depth = carry
-        (q, u, g), inv, eps_step = _maybe_sort(q, u, g, depth)
+        q_t, u, g_t, depth = carry
+        (q_t, u, g_t), inv, eps_step = _maybe_sort(q_t, u, g_t, depth)
         k1, k2, k3, k4 = jax.random.split(k, 4)
+        # drawn in the standard layout (same stream as always) and
+        # transposed — this path is the interpret/test path; production
+        # randomness is in-kernel
         z = jax.random.normal(k1, (num_chains, dim), jnp.float32)
         p = z @ mass_sqrt.T if mass_sqrt.ndim == 2 else mass_sqrt * z
         dirs = jnp.where(
@@ -736,14 +864,14 @@ def sample_fused_small(
         ub = jax.random.uniform(k3, (num_chains, max_num_expansions))
         ul = jax.random.uniform(k4, (num_chains, lmax))
         qn, un, gn, stats = transition(
-            q, u, g, p, dirs, ub, ul, inverse_mass, eps_step
+            q_t, u, g_t, p.T, dirs.T, ub.T, ul.T, inverse_mass, eps_step
         )
         qn, un, gn, stats = _unsort(inv, qn, un, gn, stats)
         out = qn if collect_positions else None
-        return (qn, un, gn, stats[:, 2]), (out, stats)
+        return (qn, un, gn, stats[2]), (out, stats)
 
     keys = jax.random.split(rng_key, num_samples)
-    (qf, _, _, _), (positions, stats) = jax.lax.scan(
-        one, (initial_positions.astype(jnp.float32), u0, g0, depth0), keys
+    (qf_t, _, _, _), (positions_t, stats_t) = jax.lax.scan(
+        one, (q0_t, u0, g0_t, depth0), keys
     )
-    return qf, positions, stats
+    return _finish(qf_t, positions_t, stats_t)

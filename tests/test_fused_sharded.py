@@ -184,3 +184,66 @@ def test_adaptive_driver_mesh_shape_invariant_tuning():
     np.testing.assert_array_equal(
         np.asarray(stats4)[:, :, 2:6], np.asarray(stats8)[:, :, 2:6]
     )
+
+
+def _chees_transition():
+    from aehmc_tpu.ops.chees_fused import make_fused_chees_transition
+
+    return make_fused_chees_transition(
+        _potential_t, [jnp.asarray(VAR).reshape(-1, 1)],
+        block_chains=BLK, interpret=True,
+    )
+
+
+def _chees_args(seed=0, eps=0.4, L=5):
+    rng = np.random.default_rng(seed)
+    q = rng.normal(size=(CHAINS, DIM)).astype(np.float32)
+    U = (0.5 * np.sum(q.astype(np.float64) ** 2 / VAR, -1)).astype(
+        np.float32
+    )
+    G = (q / VAR).astype(np.float32)
+    p = rng.normal(size=(CHAINS, DIM)).astype(np.float32)
+    ua = rng.uniform(size=CHAINS).astype(np.float32)
+    im = np.ones(DIM, np.float32)
+    return tuple(
+        jnp.asarray(a) for a in (q, U, G, p, ua, im)
+    ) + (jnp.asarray(eps, jnp.float32), jnp.asarray(L, jnp.int32))
+
+
+def _assert_chees_agree(a, b):
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=2e-5, atol=2e-5
+        )
+    # accept-prob / divergence / L columns bitwise
+    np.testing.assert_array_equal(
+        np.asarray(a[3])[:, 3:5], np.asarray(b[3])[:, 3:5]
+    )
+
+
+def test_sharded_chees_transition_matches_unsharded():
+    from aehmc_tpu.ops.chees_fused import shard_fused_chees_transition
+
+    tr = _chees_transition()
+    args = _chees_args()
+    base = tr(*args)
+    for mesh in (make_mesh(8), make_mesh(4)):
+        sharded = shard_fused_chees_transition(tr, mesh, CHAINS, BLK)
+        _assert_chees_agree(base, jax.jit(lambda *a: sharded(*a))(*args))
+
+
+def test_sharded_chees_per_chain_eps():
+    """A per-chain step-size vector shards with the chains."""
+    from aehmc_tpu.ops.chees_fused import shard_fused_chees_transition
+
+    tr = _chees_transition()
+    q, U, G, p, ua, im, _, L = _chees_args(seed=3)
+    eps_vec = jnp.asarray(
+        np.random.default_rng(5).uniform(0.1, 0.8, CHAINS), jnp.float32
+    )
+    base = tr(q, U, G, p, ua, im, eps_vec, L)
+    sharded = shard_fused_chees_transition(tr, make_mesh(8), CHAINS, BLK)
+    _assert_chees_agree(
+        base, jax.jit(lambda *a: sharded(*a))(q, U, G, p, ua, im,
+                                              eps_vec, L)
+    )
