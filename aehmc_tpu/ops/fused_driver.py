@@ -346,6 +346,7 @@ def sample_fused_adaptive(
     initial_step_size: float = 0.1,
     target_acceptance_rate: float = 0.8,
     collect_positions: bool = True,
+    collect_dtype=None,
     use_internal_prng: bool = True,
     sort_by_depth: bool = False,
     step_size_factors=None,
@@ -382,7 +383,10 @@ def sample_fused_adaptive(
     single ε diverges somewhere (the funnel's neck), the low-factor
     chains keep sampling the region the high-factor chains reject.
     Every chain remains a valid NUTS chain on the same posterior (its ε
-    is fixed, so per-chain detailed balance is untouched).  Pass ``mesh``
+    is fixed, so per-chain detailed balance is untouched).
+    ``collect_dtype=jnp.bfloat16`` stores the draw history narrowed
+    (free vs the ~0.23 ms/draw f32 stacked-copy at the flagship shape,
+    half the HBM; sampling arithmetic stays f32).  Pass ``mesh``
     (a ``jax.sharding.Mesh``)
     to shard the chain axis across devices: the kernel runs per-device
     under ``shard_map`` while the pooled-adaptation reductions cross
@@ -504,7 +508,16 @@ def sample_fused_adaptive(
             )
         if sort_by_depth:
             qn, un, gn, stats = qn[inv], un[inv], gn[inv], stats[inv]
-        out = qn if collect_positions else None
+        if not collect_positions:
+            out = None
+        elif collect_dtype is not None:
+            # narrow storage of the draw history: the f32 stacked-output
+            # copy costs ~0.23 ms/draw at the flagship shape while a
+            # bf16 cast+store measures free, and it halves the HBM
+            # footprint; the chain state stays f32 (PERF.md round 3)
+            out = qn.astype(collect_dtype)
+        else:
+            out = qn
         return (qn, un, gn, stats[:, 2]), (out, stats)
 
     depth0 = jnp.zeros((num_chains,), jnp.float32)

@@ -727,6 +727,7 @@ def sample_fused_small(
     divergence_threshold: float = 1000.0,
     block_chains: int = 1024,
     collect_positions: bool = True,
+    collect_dtype=None,
     internal_prng: bool = True,
     sort_by_depth: bool = False,
     potential_and_grad_t: Callable = None,
@@ -742,6 +743,15 @@ def sample_fused_small(
     permutation).  Returns ``(final_positions, positions,
     stats_history)`` with the same stats columns as
     :func:`aehmc_tpu.ops.nuts_fused.sample_fused`.
+
+    ``collect_dtype`` stores the collected draws in a narrower dtype
+    (pass ``jnp.bfloat16``): the f32 stacked-output copy measures
+    ~0.23 ms/draw at the flagship shape (~20% of a tuned draw) while the
+    bf16 cast+store is FREE (measures within noise of not collecting),
+    and it halves the draw buffer's HBM footprint.  Chain state and all
+    sampling arithmetic stay f32 — only the stored history is rounded
+    (~3 decimal digits), which is immaterial for rank-based ESS/R-hat
+    and posterior summaries.
 
     ``sort_by_depth`` enables DEPTH-SORTED BLOCK SCHEDULING: before each
     transition the chains are permuted by the previous draw's tree depth
@@ -803,6 +813,11 @@ def sample_fused_small(
 
     depth0 = jnp.zeros((num_chains,), jnp.float32)
 
+    def _collect(qn):
+        if not collect_positions:
+            return None
+        return qn if collect_dtype is None else qn.astype(collect_dtype)
+
     def _maybe_sort(q_t, u, g_t, depth):
         if not sort_by_depth:
             return (q_t, u, g_t), None, step_size
@@ -838,7 +853,7 @@ def sample_fused_small(
                 eps_step, seed=seed,
             )
             qn, un, gn, stats = _unsort(inv, qn, un, gn, stats)
-            out = qn if collect_positions else None
+            out = _collect(qn)
             return (qn, un, gn, stats[2]), (out, stats)
 
         seeds = derive_draw_seeds(rng_key, num_samples)
@@ -867,7 +882,7 @@ def sample_fused_small(
             q_t, u, g_t, p.T, dirs.T, ub.T, ul.T, inverse_mass, eps_step
         )
         qn, un, gn, stats = _unsort(inv, qn, un, gn, stats)
-        out = qn if collect_positions else None
+        out = _collect(qn)
         return (qn, un, gn, stats[2]), (out, stats)
 
     keys = jax.random.split(rng_key, num_samples)

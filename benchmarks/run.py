@@ -1182,6 +1182,40 @@ def nuts_fused_pg_10k():
         },
     )
 
+    # bf16 draw storage: the f32 stacked-output copy costs ~0.23 ms/draw
+    # at this shape, a narrowed store is free (PERF.md round 3 late);
+    # ESS on the narrowed history, same protocol
+    f16 = jax.jit(
+        lambda k: sample_fused_small(
+            k, pot_t, list(data), q0, num_draws, eps, imm,
+            max_num_expansions=6, block_chains=256,
+            potential_and_grad_t=pg, collect_dtype=jnp.bfloat16,
+        )
+    )
+    out = f16(jax.random.PRNGKey(1))
+    jax.block_until_ready(out[1])
+    dt, out = _median_time(lambda r: f16(jax.random.PRNGKey(2 + r)))
+    stats = np.asarray(out[2])
+    evals = int(stats[:, :, 3].sum())
+    ess_sec, min_ess, capped = _ess_per_sec(
+        np.asarray(out[1], np.float32), dt
+    )
+    _emit(
+        "nuts_fused_pg_10k_bf16store",
+        evals / dt,
+        "grad_evals/s",
+        {
+            "ess_per_sec": round(ess_sec),
+            "chains": num_chains,
+            "draws": num_draws,
+            "min_ess": round(min_ess),
+            "ess_capped": capped,
+            "collect_dtype": "bfloat16",
+            "runs": TIMED_RUNS,
+            "stat": "median",
+        },
+    )
+
 
 def eight_schools_fused():
     """Eight schools (non-centered) end-to-end: self-tuning warmup +

@@ -529,3 +529,43 @@ def test_sample_fused_small_per_chain_eps_rides_depth_sort():
     div = stats[:, :, 4]
     assert np.all(div[:, chains // 2:] == 1.0)
     assert np.all(div[:, : chains // 2] == 0.0)
+
+
+def test_collect_dtype_bf16_equivalent_statistics():
+    """collect_dtype=bf16 must change ONLY the stored history's
+    precision: same seeds -> same chains (the final f32 state is
+    bitwise equal), and the narrowed draws give the same posterior
+    moments to bf16 rounding."""
+    from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
+
+    dim, chains, draws = 4, 32, 80
+    var = np.linspace(0.5, 2.0, dim).astype(np.float32)
+
+    def potential_t(q_t, var_col):
+        return 0.5 * jnp.sum(q_t * q_t / var_col, axis=0)
+
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (chains, dim), jnp.float32
+    )
+
+    def run(dtype):
+        return jax.jit(
+            lambda k: sample_fused_small(
+                k, potential_t, [jnp.asarray(var).reshape(-1, 1)], q0,
+                draws, jnp.asarray(0.6, jnp.float32),
+                jnp.ones(dim, jnp.float32),
+                max_num_expansions=4, block_chains=8,
+                internal_prng=False, collect_dtype=dtype,
+                _interpret=True,
+            )
+        )(jax.random.PRNGKey(1))
+
+    qf32, pos32, stats32 = run(None)
+    qf16, pos16, stats16 = run(jnp.bfloat16)
+    assert pos16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(qf32), np.asarray(qf16))
+    np.testing.assert_array_equal(np.asarray(stats32), np.asarray(stats16))
+    np.testing.assert_allclose(
+        np.asarray(pos16, np.float32), np.asarray(pos32),
+        rtol=8e-3, atol=8e-3,
+    )
