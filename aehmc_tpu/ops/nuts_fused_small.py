@@ -68,7 +68,7 @@ def _as_data_row(d):
 def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
                        uleaf_ref, apply_im, eps, raw_pot_grad_t, ck_p, ck_s,
                        *, max_exp: int, divergence_threshold: float,
-                       _ablate: tuple = ()):
+                       draw_uniform_row=None, _ablate: tuple = ()):
     """One NUTS transition, transposed layout.
 
     Chain-state arrays are (dim, block); per-chain scalars (1, block);
@@ -95,6 +95,17 @@ def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
         return jnp.where(m > 0.5, a, b)
 
     def row(ref, j):
+        return ref[pl.ds(j, 1), :]
+
+    def uniform_row(ref, j):
+        # with in-kernel PRNG the uniforms are drawn ON DEMAND, one
+        # (1, blk) row per use, instead of prefilled into (2^K, blk)
+        # scratch: the prefill was ~0.09 ms/draw of the flagship's
+        # fixed cost and most rows go unused at tuned depths (the
+        # stream then depends on the realized trajectory, which is
+        # deterministic per seed)
+        if draw_uniform_row is not None:
+            return draw_uniform_row()
         return ref[pl.ds(j, 1), :]
 
     def pot_grad(q):
@@ -143,7 +154,10 @@ def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
     def outer_body(c):
         (d, prop, left, right, psum, active, div, turn,
          accept, leaves, doublings) = c
-        direction = row(dirs_ref, d)  # (1, blk) +-1
+        if draw_uniform_row is not None:
+            direction = jnp.where(draw_uniform_row() < 0.5, -1.0, 1.0)
+        else:
+            direction = row(dirs_ref, d)  # (1, blk) +-1
         go_right = (direction + 1.0) * 0.5
         start = tuple(blend(go_right, r, l) for l, r in zip(left, right))
         nleaf = jnp.left_shift(jnp.asarray(1, jnp.int32), d)
@@ -173,7 +187,7 @@ def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
             leaf_div = (
                 jnp.abs(delta) > divergence_threshold
             ).astype(jnp.float32)
-            u_row = row(uleaf_ref, base + leaf_idx)
+            u_row = uniform_row(uleaf_ref, base + leaf_idx)
             # per-leaf logit on one (1, blk) row — in this layout the
             # whole-stream precompute buys nothing (1 vreg either way)
             u_logit = jnp.log(u_row) - jnp.log1p(-u_row)
@@ -343,7 +357,7 @@ def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
 
         merged_slpa = jnp.logaddexp(sprop[5], prop[5])
         clean = (1.0 - s_div) * (1.0 - s_term)
-        u_b = row(ubias_ref, d)
+        u_b = uniform_row(ubias_ref, d)
         p_acc = jnp.minimum(1.0, jnp.exp(sprop[4] - prop[4]))
         take = clean * (u_b < p_acc).astype(jnp.float32)
         m_w = blend(clean, jnp.logaddexp(prop[4], sprop[4]), prop[4])
@@ -401,10 +415,10 @@ def _make_kernel_t(pot_grad_builder_t: Callable, n_data: int, *,
             ms_ref = refs[0]  # mass_matrix_sqrt (dim, dim): p = L^{-T} z
             refs = refs[1:]
         if internal_prng:
-            # streams are generated on-chip into scratch refs (the core
-            # row-reads them with dynamic sublane slices)
-            (q_out, u_out, g_out, stats_out, ck_p, ck_s,
-             dirs_ref, ubias_ref, uleaf_ref) = refs
+            # uniforms are drawn ON DEMAND inside the core (one (1, blk)
+            # row per use) — no stream scratch at all
+            (q_out, u_out, g_out, stats_out, ck_p, ck_s) = refs
+            dirs_ref = ubias_ref = uleaf_ref = None
         else:
             (q_out, u_out, g_out, stats_out, ck_p, ck_s) = refs
         # per-chain step sizes ride a (1, block) VMEM lane row (the
@@ -459,29 +473,19 @@ def _make_kernel_t(pot_grad_builder_t: Callable, n_data: int, *,
                     )
                 else:
                     p0 = jnp.sqrt(1.0 / im_col) * z
-            if "no_streams" not in _ablate:  # timing ablation
-                dirs_ref[:] = jnp.where(
-                    _uniform_from_bits(
-                        pltpu.prng_random_bits((max_exp, blk))
-                    ) < 0.5,
-                    -1.0,
-                    1.0,
-                )
-                ubias_ref[:] = _uniform_from_bits(
-                    pltpu.prng_random_bits((max_exp, blk))
-                )
-                uleaf_ref[:] = _uniform_from_bits(
-                    pltpu.prng_random_bits((2**max_exp, blk))
-                )
+            draw_uniform_row = lambda: _uniform_from_bits(  # noqa: E731
+                pltpu.prng_random_bits((1, blk))
+            )
         else:
             p0 = p_ref[:]
+            draw_uniform_row = None
 
         prop, div, turn, accept, leaves, doublings = _transition_core_t(
             q_ref[:], u0_ref[:], g_ref[:], p0,
             dirs_ref, ubias_ref, uleaf_ref,
             apply_im, eps, raw_pot_grad_t, ck_p, ck_s,
             max_exp=max_exp, divergence_threshold=divergence_threshold,
-            _ablate=_ablate,
+            draw_uniform_row=draw_uniform_row, _ablate=_ablate,
         )
 
         q_out[:] = prop[0]
@@ -692,15 +696,7 @@ def make_fused_nuts_transition_small(
             scratch_shapes=[
                 pltpu.VMEM((K, dim, blk), jnp.float32),
                 pltpu.VMEM((K, dim, blk), jnp.float32),
-            ] + (
-                [
-                    pltpu.VMEM((K, blk), jnp.float32),
-                    pltpu.VMEM((K, blk), jnp.float32),
-                    pltpu.VMEM((lmax, blk), jnp.float32),
-                ]
-                if internal_prng
-                else []
-            ),
+            ],
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
