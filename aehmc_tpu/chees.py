@@ -512,6 +512,7 @@ def sample(
     integrate_fn: Callable = None,
     divergence_threshold: float = 1000.0,
     collect_positions: bool = True,
+    collect_dtype=None,
     kernel_fn: Callable = None,
     _keys: jax.Array = None,
     _step_offset=0,
@@ -541,7 +542,15 @@ def sample(
         new_states, info = kernel(
             key, states, step_size, num_leapfrog, inverse_mass_matrix
         )
-        out = new_states.position if collect_positions else None
+        if not collect_positions:
+            out = None
+        elif collect_dtype is not None:
+            # narrowed draw storage (see ops/fused_driver collect_dtype):
+            # the f32 stacked-output copy is the cost, a bf16 cast+store
+            # is free and halves the history's HBM footprint
+            out = new_states.position.astype(collect_dtype)
+        else:
+            out = new_states.position
         kept = CheesSampleInfo(
             acceptance_probability=info.acceptance_probability,
             num_integration_steps=info.num_integration_steps,
