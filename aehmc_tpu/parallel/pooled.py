@@ -199,6 +199,7 @@ def sample_sharded(
     mesh=None,
     collect_positions: bool = True,
     meads_recompute_every: int = 1,
+    chees_kernel_fn: Callable = None,
     checkpoint_every: int = 0,
     checkpoint_path: Optional[str] = None,
     resume: bool = False,
@@ -214,7 +215,13 @@ def sample_sharded(
     Beyond "nuts"/"hmc"/"mala"/"ghmc", ``algorithm`` may be:
 
     - ``"chees"``: ChEES-HMC warmup + sampling (shared jittered trajectory
-      lengths; see :mod:`aehmc_tpu.chees`);
+      lengths; see :mod:`aehmc_tpu.chees`).  ``chees_kernel_fn`` swaps in
+      a custom transition — pass
+      :func:`aehmc_tpu.ops.chees_fused.make_fused_chees_kernel` (built
+      with ``mesh=`` matching this call's mesh) to run the FUSED ChEES
+      megakernel under the same pooled adaptation, mesh placement, and
+      checkpoint/resume machinery (``logprob_fn`` still initializes the
+      chain states);
     - ``"meads"``: tuning-free adaptive GHMC with cross-fold hyperparameter
       estimation (see :mod:`aehmc_tpu.meads`); ``num_warmup`` is burn-in
       only — adaptation is part of the kernel and continues while sampling.
@@ -414,6 +421,7 @@ def sample_sharded(
                 initial_step_size=initial_step_size,
                 divergence_threshold=divergence_threshold,
                 search_initial_step_size=search_initial_step_size,
+                kernel_fn=chees_kernel_fn,
             )
             extras = (
                 result.step_size,
@@ -434,6 +442,7 @@ def sample_sharded(
                 imm,
                 divergence_threshold=divergence_threshold,
                 collect_positions=collect_positions,
+                kernel_fn=chees_kernel_fn,
                 _keys=keys,
                 _step_offset=seg_start,
             )
@@ -473,6 +482,7 @@ def sample_sharded(
             divergence_threshold=divergence_threshold,
             search_initial_step_size=search_initial_step_size,
             dtype=initial_positions.dtype,
+            kernel_fn=chees_kernel_fn,
         )
 
         def chees_wh_init(key, positions):

@@ -996,6 +996,29 @@ def flagship_end_to_end():
         int(stats_f[:, :, 4].sum()),
     )
 
+    # ---------- (b') fused + narrowed (bf16) draw storage ----------
+    # same warmup/tuning as (b); only the stored history is rounded
+    # (the f32 stacked-output copy is ~20% of the sampling wall at this
+    # shape — PERF.md round 3 late)
+    fsamp16_fn = jax.jit(
+        lambda k: sample_fused_small(
+            k, potential_t, list(data_t), qw, D, eps_f, imm_f,
+            max_num_expansions=6, block_chains=256,
+            potential_and_grad_t=pg, collect_dtype=jnp.bfloat16,
+        )
+    )
+    t_samp_f16, (_, pos_f16, stats_f16) = timed(
+        lambda r: fsamp16_fn(jax.random.PRNGKey(40 + r)), TIMED_RUNS
+    )
+    stats_f16 = np.asarray(stats_f16)
+    report(
+        "fused_bf16store", t_warm_f, t_samp_f16,
+        np.asarray(pos_f16).astype(np.float32),
+        int(stats_f16[:, :, 3].sum()),
+        float(stats_f16[:, :, 1].mean()),
+        int(stats_f16[:, :, 4].sum()),
+    )
+
     # ---------- (c) ChEES ----------
     cwarm_fn = jax.jit(
         lambda k: chees.warmup(
