@@ -34,12 +34,26 @@ def _split_chains(samples: jax.Array) -> jax.Array:
 
 
 def _rank_normalize(samples: jax.Array) -> jax.Array:
-    """Fractional ranks -> normal scores over the pooled draws (per dim)."""
+    """Fractional ranks -> normal scores over the pooled draws (per dim).
+
+    The normal score is evaluated on the MIRRORED rank for the upper
+    half: with the Blom offsets, ``1 - q(N-1-r) == q(r)`` exactly, so
+    ``ppf(q(r)) == -ppf(q(N-1-r))`` — but the mirrored argument stays
+    near 0 where f32 has dense resolution, while the direct upper-tail
+    quantile is within f32 eps of 1.0 once the pooled draw count passes
+    ~2^23 (10k chains x 800 draws) and can round to exactly 1.0
+    (backend-dependent), sending ``ppf`` to +inf and NaN-poisoning the
+    whole dimension's ESS.
+    """
     c, n = samples.shape[:2]
-    flat = samples.reshape((c * n,) + samples.shape[2:])
+    total = c * n
+    flat = samples.reshape((total,) + samples.shape[2:])
     ranks = jnp.argsort(jnp.argsort(flat, axis=0), axis=0)
-    quantiles = (ranks + 1.0 - 0.375) / (c * n + 0.25)  # Blom offsets
+    upper = ranks >= (total + 1) // 2
+    mirrored = jnp.where(upper, total - 1 - ranks, ranks)
+    quantiles = (mirrored + 1.0 - 0.375) / (total + 0.25)  # Blom offsets
     z = jax.scipy.stats.norm.ppf(quantiles)
+    z = jnp.where(upper, -z, z)
     return z.reshape(samples.shape)
 
 

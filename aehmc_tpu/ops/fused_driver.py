@@ -177,8 +177,20 @@ def warmup_fused_hooks(
     use_internal_prng: bool = True,
     sort_by_depth: bool = False,
     step_size_factors=None,
+    per_chain_step_size: bool = False,
 ) -> Tuple[Callable, Callable, Callable]:
     """Segmentable fused warmup: ``(init, segment, finish)``.
+
+    ``per_chain_step_size`` runs one dual-averaging state PER CHAIN
+    (all elementwise on (chains,) arrays — the Stan state machine is
+    shape-polymorphic), each fed its own chain's acceptance statistic,
+    while the mass matrix stays pooled.  This is the reference's
+    semantics exactly — the single-chain reference adapts each chain
+    independently by construction — and the adaptive answer to the
+    fixed ``step_size_factors`` riffle: chains that sit in
+    tight-curvature regions (a funnel's neck) END warmup with the small
+    eps they need instead of the pooled compromise.  Requires the
+    transposed kernel (the only layout with per-chain eps support).
 
     ``step_size_factors`` (a per-chain (chains,) vector) RIFFLES the step
     size across the fleet: every transition runs chain ``c`` at
@@ -205,13 +217,25 @@ def warmup_fused_hooks(
     (wcarry, accept_history)``; ``finish(wcarry) -> ((q, u, g),
     (step_size, inverse_mass_matrix))``.
     """
+    if per_chain_step_size:
+        # one DA state per chain: seed the state machine with a
+        # (chains,) step-size vector and feed each chain its own
+        # acceptance (no pooling); every DA op broadcasts elementwise
+        initial_step_size = jnp.full(
+            (num_chains,), initial_step_size, jnp.float32
+        )
+        acceptance_statistic = lambda stats: stats[:, 1]  # noqa: E731
+    else:
+        acceptance_statistic = lambda stats: pairwise_mean(  # noqa: E731
+            stats[:, 1]
+        )
     init_adapt, update_adapt = window_adaptation(
         num_steps,
         is_mass_matrix_full,
         initial_step_size,
         target_acceptance_rate,
         welford_update_fn=welford_update_batch(is_mass_matrix_full),
-        acceptance_statistic=lambda stats: pairwise_mean(stats[:, 1]),
+        acceptance_statistic=acceptance_statistic,
         num_dims_fn=lambda positions: positions.shape[1],
     )
 
@@ -240,7 +264,7 @@ def warmup_fused_hooks(
             order = jnp.argsort(depth)
             inv = jnp.argsort(order)
             q, u, g = q[order], u[order], g[order]
-            if step_size_factors is not None:
+            if jnp.ndim(eps) > 0:  # riffled or per-chain eps rides along
                 eps = eps[order]
         if use_internal_prng:
             qn, un, gn, stats = transition(
@@ -291,6 +315,7 @@ def warmup_fused(
     use_internal_prng: bool = True,
     sort_by_depth: bool = False,
     step_size_factors=None,
+    per_chain_step_size: bool = False,
 ) -> Tuple[Tuple[jax.Array, jax.Array, jax.Array], jax.Array, jax.Array]:
     """Stan window adaptation over a fused NUTS transition.
 
@@ -322,6 +347,7 @@ def warmup_fused(
         use_internal_prng=use_internal_prng,
         sort_by_depth=sort_by_depth,
         step_size_factors=step_size_factors,
+        per_chain_step_size=per_chain_step_size,
     )
     wcarry = init(rng_key, (initial_positions, u0, g0))
     wcarry, _ = segment(wcarry, jnp.arange(num_steps, dtype=jnp.int32))
@@ -350,6 +376,7 @@ def sample_fused_adaptive(
     use_internal_prng: bool = True,
     sort_by_depth: bool = False,
     step_size_factors=None,
+    per_chain_step_size: bool = False,
     interpret: bool = False,
     mesh=None,
     checkpoint_every: int = 0,
@@ -421,6 +448,12 @@ def sample_fused_adaptive(
         step_size_factors = jnp.asarray(
             step_size_factors, jnp.float32
         ).reshape(num_chains)
+    if per_chain_step_size and not small:
+        raise ValueError(
+            "per_chain_step_size requires the transposed kernel — pass "
+            "potential_fn_t (per-chain step sizes ride a lane row of "
+            "the chains-in-lanes layout)"
+        )
     if block_chains is None:
         block_chains = 1024 if small else 256
     if mesh is not None:
@@ -493,7 +526,7 @@ def sample_fused_adaptive(
             order = jnp.argsort(depth)
             inv = jnp.argsort(order)
             q, u, g = q[order], u[order], g[order]
-            if step_size_factors is not None:
+            if jnp.ndim(eps) > 0:  # riffled or per-chain eps rides along
                 eps = eps[order]
         if use_internal_prng:
             qn, un, gn, stats = transition(
@@ -539,6 +572,7 @@ def sample_fused_adaptive(
             use_internal_prng=use_internal_prng,
             sort_by_depth=sort_by_depth,
             step_size_factors=step_size_factors,
+            per_chain_step_size=per_chain_step_size,
         )
 
         key_seed, key_scan = jax.random.split(sample_key)
@@ -575,6 +609,7 @@ def sample_fused_adaptive(
         target_acceptance_rate=target_acceptance_rate,
         use_internal_prng=use_internal_prng,
         step_size_factors=step_size_factors,
+        per_chain_step_size=per_chain_step_size,
     )
 
     def warmup_program(key, positions):
@@ -590,6 +625,7 @@ def sample_fused_adaptive(
             use_internal_prng=use_internal_prng,
             sort_by_depth=sort_by_depth,
             step_size_factors=step_size_factors,
+            per_chain_step_size=per_chain_step_size,
         )
         return (
             (q, u, g, depth0),

@@ -346,41 +346,51 @@ def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
             )
 
         lq, lp, lu, lg = last
+        keep = active
+        # FUSED selects: the doubling epilogue used to build each
+        # candidate with one select (take / go_right / clean) and then
+        # pick it against the carry with a second select on `keep`
+        # (~0.13 ms/draw of the flagship's fixed cost, PERF.md
+        # round-3-late ablation).  For 0/1 masks the composition
+        # `keep ? (m ? a : b) : b` IS `(keep*m) ? a : b`, so every
+        # (dim, blk) array now pays exactly ONE select per doubling —
+        # bitwise-identical outputs, about half the epilogue's VPU work.
+        keep_left = keep * (1.0 - go_right)   # edge moved only going left
+        keep_right = keep * go_right
         new_left = tuple(
-            blend(go_right, l, n) for l, n in zip(left, (lq, lp, lu, lg))
+            blend(keep_left, n, l) for l, n in zip(left, (lq, lp, lu, lg))
         )
         new_right = tuple(
-            blend(go_right, n, r) for n, r in zip((lq, lp, lu, lg), right)
+            blend(keep_right, n, r) for n, r in zip((lq, lp, lu, lg), right)
         )
-        new_psum = psum + s_psum
+        new_psum = blend(keep, psum + s_psum, psum)
         new_accept = jnp.exp(sprop[5]) / jnp.maximum(s_len, 1.0)
 
         merged_slpa = jnp.logaddexp(sprop[5], prop[5])
         clean = (1.0 - s_div) * (1.0 - s_term)
         u_b = uniform_row(ubias_ref, d)
         p_acc = jnp.minimum(1.0, jnp.exp(sprop[4] - prop[4]))
-        take = clean * (u_b < p_acc).astype(jnp.float32)
-        m_w = blend(clean, jnp.logaddexp(prop[4], sprop[4]), prop[4])
+        take = keep * clean * (u_b < p_acc).astype(jnp.float32)
+        m_w = blend(keep * clean, jnp.logaddexp(prop[4], sprop[4]), prop[4])
         new_prop = (
             blend(take, sprop[0], prop[0]),
             blend(take, sprop[1], prop[1]),
             blend(take, sprop[2], prop[2]),
             blend(take, sprop[3], prop[3]),
             m_w,
-            merged_slpa,
+            blend(keep, merged_slpa, prop[5]),
         )
 
         turn_f = turning(new_left[1], new_right[1], new_psum)
 
-        keep = active
         pick = lambda new, old: blend(keep, new, old)  # noqa: E731
         stop_now = jnp.minimum(s_div + turn_f + s_term, 1.0)
         return (
             d + 1,
-            tuple(pick(n, o) for n, o in zip(new_prop, prop)),
-            tuple(pick(n, o) for n, o in zip(new_left, left)),
-            tuple(pick(n, o) for n, o in zip(new_right, right)),
-            pick(new_psum, psum),
+            new_prop,
+            new_left,
+            new_right,
+            new_psum,
             active * (1.0 - stop_now),
             pick(s_div, div),
             pick(turn_f, turn),

@@ -123,7 +123,17 @@ def window_adaptation(
     def _new_da_state(step_size: jax.Array) -> DualAveragingState:
         log_step_size = jnp.log(step_size)
         state = da_init(jnp.log(10.0) + log_step_size)
-        return state._replace(iterates=log_step_size, iterates_avg=log_step_size)
+        # gradient_avg must match the step-size shape (a PER-CHAIN vector
+        # when the caller adapts each chain's eps against its own
+        # acceptance — aehmc_tpu.ops.fused_driver per_chain_step_size);
+        # da_init pins it to a scalar, which would change the scan-carry
+        # shape on the first vector update.  zeros_like is a no-op for
+        # the scalar path.
+        return state._replace(
+            iterates=log_step_size,
+            iterates_avg=log_step_size,
+            gradient_avg=jnp.zeros_like(log_step_size),
+        )
 
     def init(
         initial_chain_state: ChainState, step_size=None

@@ -5,8 +5,9 @@ Configs: readme_nuts, linreg_warmup, mvn25_dense, funnel, logistic_10k,
 chees_10k, meads_10k, meads_10k_amortized, nuts_fused_10k,
 nuts_fused_generic_10k, nuts_fused_t_10k, nuts_fused_pg_10k,
 funnel_fused, funnel_fused_adaptive, funnel_fused_riffled,
+funnel_fused_per_chain_eps,
 eight_schools_fused, mvn25_fused, mvn25_dense_fused_adaptive,
-nuts_fused_adaptive_10k, chees_fused_10k,
+nuts_fused_adaptive_10k, chees_fused_10k, sustained_10k,
 flagship_end_to_end, tpu_gates, all
 (the *fused* configs need a real TPU).
 
@@ -1240,6 +1241,125 @@ def nuts_fused_pg_10k():
     )
 
 
+def sustained_10k():
+    """Sustained (800-draw) protocol for the two fastest samplers on the
+    config-5 posterior.  The 200-draw protocol carries the ~30 ms per-run
+    dispatch constant plus compile-adjacent noise (~13% of a 0.23 s run);
+    at 800 draws the kernels show their long-run asymptote (PERF.md
+    round-3-late measured 85.4M for NUTS-pg without collection and 121.5M
+    for fused ChEES at this protocol — these records pin those numbers as
+    machine-recorded artifacts rather than prose)."""
+    from aehmc_tpu import chees
+    from aehmc_tpu.models import logistic_regression_pg_t
+    from aehmc_tpu.ops.chees_fused import (
+        make_fused_chees_kernel,
+        sample_fused_chees_adaptive,
+    )
+    from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
+
+    dim, num_chains, num_draws = 100, 10_240, 800
+    pot_t, pg, data, _ = logistic_regression_pg_t(
+        dim=dim, num_points=1000, matmul_dtype=jnp.float32
+    )
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
+    )
+
+    # NUTS transposed megakernel, pre-differentiated, tuned params (the
+    # same constants as nuts_fused_pg_10k), bf16 draw storage
+    eps = jnp.asarray(0.5148, jnp.float32)
+    imm = jnp.full((dim,), 0.3386, jnp.float32)
+    f = jax.jit(
+        lambda k: sample_fused_small(
+            k, pot_t, list(data), q0, num_draws, eps, imm,
+            max_num_expansions=6, block_chains=256,
+            potential_and_grad_t=pg, collect_dtype=jnp.bfloat16,
+        )
+    )
+    out = f(jax.random.PRNGKey(1))
+    jax.block_until_ready(out[1])
+    dt, out = _median_time(lambda r: f(jax.random.PRNGKey(2 + r)), runs=3)
+    stats = np.asarray(out[2])
+    evals = int(stats[:, :, 3].sum())
+    ess_sec, min_ess, capped = _ess_per_sec(
+        np.asarray(out[1], np.float32), dt
+    )
+    log(
+        f"nuts_fused_pg_sustained: accept {stats[:, :, 1].mean():.3f}, "
+        f"div {int(stats[:, :, 4].sum())}, min ESS {min_ess:.0f}, "
+        f"wall {dt:.3f}s"
+    )
+    _emit(
+        "nuts_fused_pg_sustained_800",
+        evals / dt,
+        "grad_evals/s",
+        {
+            "ess_per_sec": round(ess_sec),
+            "chains": num_chains,
+            "draws": num_draws,
+            "min_ess": round(min_ess),
+            "ess_capped": capped,
+            "divergences": int(stats[:, :, 4].sum()),
+            "collect_dtype": "bfloat16",
+            "runs": 3,
+            "stat": "median",
+        },
+    )
+
+    # Fused ChEES: tune once (untimed), then time sampling-only
+    warm = jax.jit(
+        lambda k: sample_fused_chees_adaptive(
+            k, pot_t, list(data), q0, 1, 300,
+            potential_and_grad_t=pg, block_chains=256,
+        )
+    )
+    wout = warm(jax.random.PRNGKey(1))
+    jax.block_until_ready(wout[1])
+    wres = wout[3]
+    states = wres.states  # post-warmup ChainState (out[0] is positions)
+    kernel_fn = make_fused_chees_kernel(
+        pot_t, list(data), block_chains=256, potential_and_grad_t=pg
+    )
+    g = jax.jit(
+        lambda k: chees.sample(
+            k, None, states, num_draws, wres.step_size,
+            wres.trajectory_length, wres.inverse_mass_matrix,
+            kernel_fn=kernel_fn, collect_dtype=jnp.bfloat16,
+        )
+    )
+    out = g(jax.random.PRNGKey(1))
+    jax.block_until_ready(out[1])
+    dt, out = _median_time(lambda r: g(jax.random.PRNGKey(2 + r)), runs=3)
+    _, pos, infos = out
+    L = np.asarray(infos.num_integration_steps)
+    evals = int(L.sum()) * num_chains
+    div = int(np.asarray(infos.is_diverging).sum())
+    ess_sec, min_ess, capped = _ess_per_sec(np.asarray(pos, np.float32), dt)
+    log(
+        f"chees_fused_sustained: div {div}, eps "
+        f"{float(wres.step_size):.4f}, h {float(wres.trajectory_length):.3f},"
+        f" mean L {L.mean():.1f}, min ESS {min_ess:.0f}, wall {dt:.3f}s"
+    )
+    _emit(
+        "chees_fused_sustained_800",
+        evals / dt,
+        "grad_evals/s",
+        {
+            "ess_per_sec": round(ess_sec),
+            "chains": num_chains,
+            "draws": num_draws,
+            "min_ess": round(min_ess),
+            "ess_capped": capped,
+            "divergences": div,
+            "collect_dtype": "bfloat16",
+            "note": "sampling-only at fused-warmup-tuned params; the "
+                    "200-draw configs carry the per-run dispatch constant",
+            "runs": 3,
+            "stat": "median",
+        },
+    )
+
+
 def eight_schools_fused():
     """Eight schools (non-centered) end-to-end: self-tuning warmup +
     sampling through the chains-in-lanes megakernel.  Metric: wall-clock
@@ -1456,6 +1576,74 @@ def funnel_fused_riffled():
     )
 
 
+def funnel_fused_per_chain_eps():
+    """PER-CHAIN dual averaging through the fused driver (the adaptive
+    answer to the fixed riffle, ROADMAP #4's refinement): every chain
+    tunes its own eps against its own acceptance — the reference's
+    single-chain semantics exactly, vectorized across the fleet.  On the
+    funnel the tuned vector spreads with the chains' warmup positions,
+    so the neck coverage is earned by adaptation instead of a
+    hand-picked factor tile."""
+    from aehmc_tpu.models import neals_funnel_pg_t
+    from aehmc_tpu.ops.fused_driver import sample_fused_adaptive
+
+    dim, num_chains = 10, 8192
+    num_warmup, num_draws = 300, 200
+    potential_t, pg, data, _ = neals_funnel_pg_t(dim=dim)
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
+    )
+    f = jax.jit(
+        lambda k: sample_fused_adaptive(
+            k, None, list(data), q0, num_draws, num_warmup,
+            potential_fn_t=potential_t, potential_and_grad_t=pg,
+            max_num_expansions=10, block_chains=1024,
+            target_acceptance_rate=0.85, sort_by_depth=True,
+            per_chain_step_size=True,
+        )
+    )
+    out = f(jax.random.PRNGKey(1))
+    jax.block_until_ready(out[1])
+    dt, out = _median_time(lambda r: f(jax.random.PRNGKey(2 + r)))
+    _, pos, stats, eps, _ = out
+    stats = np.asarray(stats)
+    eps = np.asarray(eps)
+    evals = int(stats[:, :, 3].sum())
+    v = np.asarray(pos)[:, :, 0]
+    low = eps <= np.quantile(eps, 0.25)
+    p_neck_all = float((v < -4.5).mean())
+    p_neck_low = float((v[:, low] < -4.5).mean())
+    ess_sec, min_ess, capped = _ess_per_sec(pos, dt)
+    log(
+        f"funnel_fused_per_chain_eps: eps [{eps.min():.4f}, "
+        f"{np.median(eps):.4f}, {eps.max():.4f}], accept "
+        f"{stats[:, :, 1].mean():.3f}, div {int(stats[:, :, 4].sum())}, "
+        f"p(v<-4.5) {p_neck_all:.4f} (low-eps quartile: {p_neck_low:.4f},"
+        f" truth 0.0668), min ESS {min_ess:.0f}, wall {dt:.3f}s"
+    )
+    _emit(
+        "funnel_fused_per_chain_eps",
+        evals / dt,
+        "grad_evals/s",
+        {
+            "ess_per_sec": round(ess_sec),
+            "min_ess": round(min_ess),
+            "ess_capped": capped,
+            "divergences": int(stats[:, :, 4].sum()),
+            "chains": num_chains,
+            "wall_s": round(dt, 3),
+            "neck_p_all": round(p_neck_all, 4),
+            "neck_p_low_quartile": round(p_neck_low, 4),
+            "neck_p_truth": 0.0668,
+            "eps_min": round(float(eps.min()), 5),
+            "eps_median": round(float(np.median(eps)), 5),
+            "eps_max": round(float(eps.max()), 5),
+            "runs": TIMED_RUNS,
+            "stat": "median",
+        },
+    )
+
+
 CONFIGS = {
     "readme_nuts": readme_nuts,
     "linreg_warmup": linreg_warmup,
@@ -1476,7 +1664,9 @@ CONFIGS = {
     "nuts_fused_adaptive_10k": nuts_fused_adaptive_10k,
     "funnel_fused_adaptive": funnel_fused_adaptive,
     "funnel_fused_riffled": funnel_fused_riffled,
+    "funnel_fused_per_chain_eps": funnel_fused_per_chain_eps,
     "chees_fused_10k": chees_fused_10k,
+    "sustained_10k": sustained_10k,
     "flagship_end_to_end": flagship_end_to_end,
     "tpu_gates": tpu_gates,
 }

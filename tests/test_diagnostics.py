@@ -183,3 +183,24 @@ def test_to_inference_data_dict_layouts():
     # single chain (draws, dim)
     d3 = to_inference_data_dict(np.asarray(res.positions)[:, 0, :])
     assert d3["posterior"]["theta_0"].shape == (1, 20)
+
+
+def test_rank_normalize_finite_beyond_f32_quantile_resolution():
+    """Once the pooled draw count passes ~2^23, the direct upper-tail
+    Blom quantile sits within f32 eps of 1.0 and can round to exactly
+    1.0 (backend-dependent), sending norm.ppf to +inf and NaN-poisoning
+    the dimension's bulk ESS (observed on TPU at 10k chains x 800
+    draws).  The mirrored-rank evaluation must stay finite and the ESS
+    positive at any size."""
+    from aehmc_tpu.diagnostics import _rank_normalize
+
+    c, n = 4, (2**23 + 256) // 4
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(c, n, 1)).astype(np.float32)
+    z = np.asarray(_rank_normalize(jnp.asarray(x)))
+    assert np.isfinite(z).all()
+    # extreme scores land near +-ppf(1/N) and stay symmetric
+    assert 5.0 < np.abs(z).max() < 7.0
+    np.testing.assert_allclose(z.max(), -z.min(), rtol=1e-5)
+    ess = np.asarray(effective_sample_size(jnp.asarray(x)))
+    assert ess > 0.25 * c * n  # iid draws: ESS is a large fraction of N

@@ -285,3 +285,57 @@ def test_step_size_factors_require_transposed_kernel():
             jax.random.PRNGKey(0), _potential, [VAR], q0,
             step_size_factors=jnp.ones(chains), interpret=True,
         )
+
+
+def test_adaptive_driver_per_chain_step_size():
+    """per_chain_step_size runs one dual-averaging state per chain (each
+    fed its own acceptance), so the tuned eps comes out as a finite
+    positive (chains,) vector with genuine spread, every chain stays
+    healthy, and the pooled mass matrix still orders like the true
+    variances.  The pooled run is the semantic baseline: both must
+    target the same acceptance on average."""
+    chains, dim = 8, VAR.size
+    q0 = jax.random.normal(
+        jax.random.PRNGKey(3), (chains, dim), jnp.float32
+    ) * jnp.sqrt(jnp.asarray(VAR))
+    kwargs = dict(
+        num_samples=40,
+        num_warmup=60,
+        max_num_expansions=4,
+        block_chains=chains,
+        use_internal_prng=False,
+        interpret=True,
+        potential_fn_t=_potential_t,
+    )
+    qf, pos, stats, eps, imm = sample_fused_adaptive(
+        jax.random.PRNGKey(4), None, [VAR.reshape(-1, 1)], q0,
+        per_chain_step_size=True, **kwargs,
+    )
+    eps = np.asarray(eps)
+    assert eps.shape == (chains,)
+    assert np.isfinite(eps).all() and (eps > 0).all()
+    # independent acceptance streams -> the tuned vector is not constant
+    assert eps.std() > 0
+    stats = np.asarray(stats)
+    assert np.isfinite(np.asarray(pos)).all()
+    assert stats[:, :, 1].mean() > 0.4
+    imm = np.asarray(imm)
+    assert imm.shape == (dim,)
+    assert imm[3] > imm[0]
+    # determinism: same seed, same per-chain tuning, bitwise
+    qf2, pos2, _, eps2, _ = sample_fused_adaptive(
+        jax.random.PRNGKey(4), None, [VAR.reshape(-1, 1)], q0,
+        per_chain_step_size=True, **kwargs,
+    )
+    np.testing.assert_array_equal(np.asarray(eps2), eps)
+    np.testing.assert_array_equal(np.asarray(pos2), np.asarray(pos))
+
+
+def test_per_chain_step_size_requires_transposed_kernel():
+    chains, dim = 8, VAR.size
+    q0 = jnp.zeros((chains, dim), jnp.float32)
+    with pytest.raises(ValueError, match="transposed"):
+        sample_fused_adaptive(
+            jax.random.PRNGKey(0), _potential, [VAR], q0,
+            per_chain_step_size=True, interpret=True,
+        )
