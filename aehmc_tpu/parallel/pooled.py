@@ -31,6 +31,9 @@ def pooled_window_adaptation(
     is_mass_matrix_full: bool = False,
     initial_step_size: float = 1.0,
     target_acceptance_rate: float = 0.8,
+    *,
+    per_chain_step_size: bool = False,
+    num_chains: int = None,
 ) -> Tuple[Callable, Callable]:
     """(init, update) for warmup driven by pooled cross-chain statistics.
 
@@ -39,18 +42,36 @@ def pooled_window_adaptation(
     pooling hooks: mean acceptance across chains drives dual averaging, and
     each step folds the whole chain batch into the Welford state with the
     Chan parallel merge.
+
+    ``per_chain_step_size`` replaces the pooled dual-averaging state with
+    one state per chain, each fed its own chain's acceptance (all DA ops
+    are elementwise on (chains,) arrays); the mass matrix stays pooled.
+    That is the reference's single-chain adaptation semantics vectorized
+    across the fleet, and it is trivially mesh-shape-invariant (no
+    cross-chain reduction feeds the step size).  Requires ``num_chains``.
     """
     wc_update_batch = welford_update_batch(is_mass_matrix_full)
+    if per_chain_step_size:
+        if num_chains is None:
+            raise ValueError("per_chain_step_size requires num_chains")
+        initial_step_size = jnp.full(
+            (num_chains,), initial_step_size, jnp.float32
+        )
+        acceptance_statistic = (
+            lambda info: info.acceptance_probability  # noqa: E731
+        )
+    else:
+        # fixed-tree pairwise mean: tuned eps is bitwise mesh-shape-invariant
+        acceptance_statistic = lambda info: pairwise_mean(  # noqa: E731
+            info.acceptance_probability
+        )
     return window_adaptation(
         num_steps,
         is_mass_matrix_full,
         initial_step_size,
         target_acceptance_rate,
         welford_update_fn=wc_update_batch,
-        # fixed-tree pairwise mean: tuned eps is bitwise mesh-shape-invariant
-        acceptance_statistic=lambda info: pairwise_mean(
-            info.acceptance_probability
-        ),
+        acceptance_statistic=acceptance_statistic,
         num_dims_fn=lambda positions: (
             0 if positions.ndim == 1 else positions.shape[1]
         ),
@@ -67,6 +88,7 @@ def pooled_warmup_hooks(
     target_acceptance_rate: float = 0.8,
     progress_every: int = 0,
     search_initial_step_size: bool = True,
+    per_chain_step_size: bool = False,
 ) -> Tuple[Callable, Callable, Callable]:
     """Segmentable pooled warmup: ``(init, segment, finish)``.
 
@@ -85,6 +107,8 @@ def pooled_warmup_hooks(
         is_mass_matrix_full,
         initial_step_size,
         target_acceptance_rate,
+        per_chain_step_size=per_chain_step_size,
+        num_chains=num_chains,
     )
 
     def init(rng_key, initial_states):
@@ -99,14 +123,22 @@ def pooled_warmup_hooks(
                 )
 
             rng_key, search_key = jax.random.split(rng_key)
+            search_eps = adaptation_state.step_size
+            if per_chain_step_size:
+                # the doubling/halving search probes ONE pooled scalar
+                # (its while-loop predicate needs a scalar acceptance);
+                # every chain's DA state is then seeded at the found value
+                search_eps = search_eps[0]
             found = find_reasonable_step_size(
                 search_key,
                 batched_kernel,
                 initial_states,
                 adaptation_state.inverse_mass_matrix,
-                initial_step_size=adaptation_state.step_size,
+                initial_step_size=search_eps,
                 reduce_fn=pairwise_mean,
             )
+            if per_chain_step_size:
+                found = jnp.full((num_chains,), found, jnp.float32)
             adaptation_state = init_adapt(initial_states, found)
         return (rng_key, initial_states, adaptation_state)
 
@@ -114,12 +146,19 @@ def pooled_warmup_hooks(
         key, states, adaptation_state = carry
         key, subkey = jax.random.split(key)
         kernel_keys = jax.random.split(subkey, num_chains)
-        new_states, infos = jax.vmap(
-            lambda k, s: kernel(
-                k, s, adaptation_state.step_size,
-                adaptation_state.inverse_mass_matrix,
-            )
-        )(kernel_keys, states)
+        if per_chain_step_size:
+            new_states, infos = jax.vmap(
+                lambda k, s, e: kernel(
+                    k, s, e, adaptation_state.inverse_mass_matrix
+                )
+            )(kernel_keys, states, adaptation_state.step_size)
+        else:
+            new_states, infos = jax.vmap(
+                lambda k, s: kernel(
+                    k, s, adaptation_state.step_size,
+                    adaptation_state.inverse_mass_matrix,
+                )
+            )(kernel_keys, states)
         new_adaptation_state = update_adapt(
             step, adaptation_state, new_states.position, infos
         )
@@ -153,6 +192,7 @@ def pooled_warmup(
     target_acceptance_rate: float = 0.8,
     progress_every: int = 0,
     search_initial_step_size: bool = True,
+    per_chain_step_size: bool = False,
 ) -> Tuple[ChainState, Tuple[jax.Array, jax.Array], Diagnostics]:
     """Warm up a batch of chains with shared, pooled-adapted parameters.
 
@@ -172,6 +212,7 @@ def pooled_warmup(
         target_acceptance_rate=target_acceptance_rate,
         progress_every=progress_every,
         search_initial_step_size=search_initial_step_size,
+        per_chain_step_size=per_chain_step_size,
     )
     wcarry = init(rng_key, initial_states)
     wcarry, info_history = segment(
@@ -196,6 +237,7 @@ def sample_sharded(
     initial_step_size: float = 1.0,
     target_acceptance_rate: float = 0.8,
     search_initial_step_size: bool = True,
+    per_chain_step_size: bool = False,
     mesh=None,
     collect_positions: bool = True,
     meads_recompute_every: int = 1,
@@ -228,6 +270,12 @@ def sample_sharded(
       ``meads_recompute_every=k`` amortizes the eigenvalue estimation over
       k-draw segments (~3x throughput at 10k chains, see PERF.md).
 
+    ``per_chain_step_size=True`` (nuts/hmc/mala/ghmc) adapts one dual
+    averaging state per chain — each chain's eps tunes against its own
+    acceptance, the reference's single-chain semantics vectorized — while
+    the mass matrix stays pooled; the tuned ``step_size`` comes back as a
+    ``(chains,)`` vector.
+
     **Checkpoint / resume** (new capability vs the reference, SURVEY.md §5):
     pass ``checkpoint_every=N, checkpoint_path="run.npz"`` to snapshot the
     full sampling state (chain states, tuned parameters, PRNG key, collected
@@ -245,6 +293,12 @@ def sample_sharded(
     """
     if checkpoint_every and checkpoint_path is None:
         raise ValueError("checkpoint_every requires checkpoint_path")
+    if per_chain_step_size and algorithm in ("meads", "chees"):
+        raise ValueError(
+            f"per_chain_step_size is not supported with "
+            f"algorithm={algorithm!r} (MEADS/ChEES manage their own "
+            f"step-size adaptation)"
+        )
     if algorithm == "meads":
         from aehmc_tpu import meads
 
@@ -572,10 +626,13 @@ def sample_sharded(
                 initial_step_size=initial_step_size,
                 target_acceptance_rate=target_acceptance_rate,
                 search_initial_step_size=search_initial_step_size,
+                per_chain_step_size=per_chain_step_size,
             )
         else:
             dtype = positions.dtype
             eps = jnp.asarray(initial_step_size, dtype)
+            if per_chain_step_size:
+                eps = jnp.full((num_chains,), initial_step_size, dtype)
             dim = 0 if positions.ndim == 1 else positions.shape[1]
             if is_mass_matrix_full and dim > 0:
                 imm = jnp.identity(dim, dtype)
@@ -590,9 +647,14 @@ def sample_sharded(
 
         def one_step(states, key):
             keys = jax.random.split(key, num_chains)
-            new_states, infos = jax.vmap(
-                lambda k, s: kernel(k, s, eps, imm)
-            )(keys, states)
+            if per_chain_step_size:
+                new_states, infos = jax.vmap(
+                    lambda k, s, e: kernel(k, s, e, imm)
+                )(keys, states, eps)
+            else:
+                new_states, infos = jax.vmap(
+                    lambda k, s: kernel(k, s, eps, imm)
+                )(keys, states)
             out = new_states.position if collect_positions else None
             return new_states, (out, infos)
 

@@ -208,3 +208,58 @@ def test_sample_sharded_chees():
     pooled = np.asarray(samples).reshape(-1, 3)
     np.testing.assert_allclose(pooled.mean(axis=0), 0.0, atol=0.15)
     np.testing.assert_allclose(pooled.var(axis=0), 1.0, atol=0.25)
+
+
+def test_sample_sharded_per_chain_step_size():
+    """per_chain_step_size adapts one dual-averaging state per chain on
+    the XLA path: tuned step_size is a finite positive (chains,) vector
+    with genuine spread, sampling stays healthy, and the run is
+    deterministic per seed.  Mesh-sharded (the per-chain DA is chain-local
+    so it shards with the chains)."""
+    logprob_fn = std_normal()
+    num_chains = 32
+    initial_positions = jax.random.normal(
+        jax.random.PRNGKey(2), (num_chains, 3), jnp.float64
+    )
+    mesh = make_mesh()
+    result = sample_sharded(
+        jax.random.PRNGKey(3),
+        logprob_fn,
+        initial_positions,
+        num_samples=200,
+        num_warmup=150,
+        per_chain_step_size=True,
+        mesh=mesh,
+    )
+    eps = np.asarray(result.step_size)
+    assert eps.shape == (num_chains,)
+    assert np.isfinite(eps).all() and (eps > 0).all()
+    assert eps.std() > 0  # independent acceptance streams
+    pooled = np.asarray(result.positions).reshape(-1, 3)
+    np.testing.assert_allclose(pooled.mean(axis=0), 0.0, atol=0.15)
+    np.testing.assert_allclose(pooled.var(axis=0), 1.0, atol=0.3)
+    # deterministic per seed
+    result2 = sample_sharded(
+        jax.random.PRNGKey(3),
+        logprob_fn,
+        initial_positions,
+        num_samples=200,
+        num_warmup=150,
+        per_chain_step_size=True,
+        mesh=mesh,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(result2.positions), np.asarray(result.positions)
+    )
+
+
+def test_per_chain_step_size_rejects_self_tuning_algorithms():
+    logprob_fn = std_normal()
+    q0 = jnp.zeros((8, 2))
+    for algo in ("meads", "chees"):
+        with pytest.raises(ValueError, match="per_chain_step_size"):
+            sample_sharded(
+                jax.random.PRNGKey(0), logprob_fn, q0,
+                num_samples=4, num_warmup=4, algorithm=algo,
+                per_chain_step_size=True,
+            )
