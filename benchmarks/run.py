@@ -30,10 +30,42 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+_RUN_ID = None
+
+
+def _run_id():
+    """Commit hash (cached per process) so append-only result logs can
+    evidence which tree each record validated (round-3 ADVICE:
+    byte-identical re-run records were indistinguishable)."""
+    global _RUN_ID
+    if _RUN_ID is None:
+        try:
+            commit = __import__("subprocess").run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or "unknown"
+        except Exception:
+            commit = "unknown"
+        dirty = ""
+        try:
+            st = __import__("subprocess").run(
+                ["git", "status", "--porcelain"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            if st:
+                dirty = "-dirty"
+        except Exception:
+            pass
+        _RUN_ID = commit + dirty
+    return _RUN_ID
+
+
 def _emit(name, value, unit, extra=None):
     rec = {"config": name, "value": round(float(value), 2), "unit": unit}
     if extra:
         rec.update(extra)
+    rec.setdefault("commit", _run_id())
+    rec.setdefault("ts", time.strftime("%Y-%m-%dT%H:%M:%S"))
     line = json.dumps(rec)
     print(line, flush=True)
     # stdout disappears into pipes/timeouts too easily; mirror every
