@@ -184,6 +184,7 @@ def new_kernel(
     divergence_threshold: float = 1000.0,
     step_size_multiplier: float = 0.5,
     recompute_every: int = 1,
+    transition_fn: Callable = None,
 ) -> Callable:
     """Build the MEADS transition over a full chain batch.
 
@@ -202,8 +203,15 @@ def new_kernel(
     per-step scheme (Hoffman & Sountsov 2022), just with a stale-by-at-
     most-k snapshot.  Statistical gates (tests/test_meads.py) pin the
     posterior for both settings.
+
+    ``transition_fn`` swaps in a custom fold transition — pass
+    :func:`aehmc_tpu.ops.ghmc_fused.make_fused_meads_transition` to run
+    the transition as one VMEM-resident Pallas megakernel under the same
+    complementary-fold estimation.
     """
-    transition = _make_fold_transition(logprob_fn, divergence_threshold)
+    transition = transition_fn or _make_fold_transition(
+        logprob_fn, divergence_threshold
+    )
 
     def step(
         rng_key: jax.Array, carry: MeadsCarry
@@ -311,6 +319,7 @@ def sample(
     step_size_multiplier: float = 0.5,
     collect_positions: bool = True,
     recompute_every: int = 1,
+    transition_fn: Callable = None,
 ):
     """Burn-in + sampling, one jitted program.
 
@@ -318,7 +327,9 @@ def sample(
     ``num_folds`` and at least 2 chains per fold.  Adaptation runs through
     both phases (it is part of the kernel); ``num_warmup`` draws are simply
     discarded.  ``recompute_every`` amortizes hyperparameter estimation
-    (see :func:`new_kernel`).
+    (see :func:`new_kernel`); ``transition_fn`` swaps in a custom fold
+    transition (the fused megakernel:
+    :func:`aehmc_tpu.ops.ghmc_fused.make_fused_meads_transition`).
 
     Returns ``(final_states, positions, infos, hyper)`` with positions
     (draws, chains, dim), ``infos`` a stacked :class:`Diagnostics`, and
@@ -341,6 +352,7 @@ def sample(
             step_size_multiplier=step_size_multiplier,
             collect_positions=collect_positions,
             recompute_every=recompute_every,
+            transition_fn=transition_fn,
         )
 
     carry = init_carry(
@@ -349,6 +361,7 @@ def sample(
     )
     kernel = new_kernel(
         logprob_fn, num_folds, divergence_threshold, step_size_multiplier,
+        transition_fn=transition_fn,
     )
 
     def burn_step(carry, key):
@@ -377,7 +390,7 @@ def _sample_segmented(
     init_key, warm_key, sample_key,
     logprob_fn, initial_positions, num_samples, num_warmup, *,
     num_folds, divergence_threshold, step_size_multiplier,
-    collect_positions, recompute_every,
+    collect_positions, recompute_every, transition_fn=None,
 ):
     """Amortized MEADS as NESTED scans: the outer scan re-estimates the
     hyperparameters once per ``recompute_every``-draw segment, the inner
@@ -405,7 +418,9 @@ def _sample_segmented(
 
     states = init_states(init_key, initial_positions, logprob_fn)
     fold_states = jax.tree_util.tree_map(fold, states)
-    transition = _make_fold_transition(logprob_fn, divergence_threshold)
+    transition = transition_fn or _make_fold_transition(
+        logprob_fn, divergence_threshold
+    )
 
     def estimate(fold_states):
         flat = jax.tree_util.tree_map(unfold, fold_states)

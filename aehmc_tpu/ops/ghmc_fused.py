@@ -1,0 +1,393 @@
+"""Fused GHMC transition megakernel (chains-in-lanes) + MEADS adapter.
+
+GHMC (aehmc_tpu/ghmc.py) is trajectory-regular like ChEES — every chain
+runs the same (usually ONE) leapfrog step per transition with a
+persistent, partially-refreshed momentum — so the whole transition
+(OU momentum refresh, leapfrog, MH accept with flip-on-reject) is one
+dense batch with zero per-chain control flow.  This kernel is the GHMC
+twin of :mod:`aehmc_tpu.ops.chees_fused`: same transposed layout (chain
+axis across lanes, dim across sublanes, per-chain scalars as (1, block)
+rows), same in-kernel PRNG (Box-Muller pairs from per-(block, draw)
+seeds), with the persistent momentum carried as a (dim, block) state
+array alongside position/potential/gradient.
+
+Why fuse: at one leapfrog per draw the XLA MEADS path pays its fixed
+costs — loop-carry HBM traffic for four (chains, dim) state arrays, the
+4-fold vmap structure, per-draw randomness generation — against a
+single gradient.  The round-3 ablation (PERF.md) measured the XLA MEADS
+draw at 0.28 ms vs a 0.18 ms bare-leapfrog floor; everything between is
+exactly what VMEM residency + in-kernel PRNG remove.
+
+MEADS integration: :func:`make_fused_meads_transition` adapts the
+kernel to the fold-level contract of
+``aehmc_tpu.meads._make_fold_transition`` — per-fold hyperparameters
+(step size, momentum retention alpha, diagonal inverse mass) broadcast
+to per-chain (1, block) rows / (dim, block) columns, so the
+complementary-fold estimation stack (``estimate_hyperparams``) drives
+the megakernel unchanged via ``meads.sample(transition_fn=...)``.
+
+MH semantics mirror :func:`aehmc_tpu.ghmc.new_noise_kernel` exactly
+(flip-on-reject for detailed balance with persistence; the accepted
+momentum is stored negated so accepted moves continue forward).
+"""
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_IMPORTED = True
+except Exception:  # pragma: no cover
+    _PALLAS_IMPORTED = False
+
+from aehmc_tpu.ops.nuts_fused import (
+    BLOCK_SEED_STRIDE,
+    NEG_INF,
+    _uniform_from_bits,
+)
+from aehmc_tpu.ops.nuts_fused_small import _as_data_row
+from aehmc_tpu.types import Diagnostics, IntegratorState
+
+
+def _make_ghmc_kernel_t(pot_grad_builder_t: Callable, n_data: int, *,
+                        divergence_threshold: float, internal_prng: bool,
+                        num_steps: int):
+    """The Pallas kernel body.  All per-chain parameters are rows:
+    eps/alpha (1, blk); the diagonal inverse mass is a (dim, blk)
+    column block (per-chain — MEADS gives each FOLD its own diagonal)."""
+
+    def _kernel(*args):
+        if internal_prng:
+            (seed_ref, eps_ref, alpha_ref, q_ref, u0_ref, g_ref,
+             p_ref), refs = args[:7], args[7:]
+        else:
+            (eps_ref, alpha_ref, q_ref, u0_ref, g_ref, p_ref,
+             noise_ref, uacc_ref), refs = args[:8], args[8:]
+        data_refs = refs[:n_data]
+        refs = refs[n_data:]
+        im_ref = refs[0]
+        q_out, u_out, g_out, p_out, stats_out = refs[1:]
+
+        eps = eps_ref[:]
+        alpha = alpha_ref[:]
+        dim, blk = q_ref.shape
+        im = im_ref[:]  # (dim, blk) diagonal M^{-1}, per chain
+
+        def apply_im(p):
+            return im * p
+
+        raw_pot_grad_t = pot_grad_builder_t(*[r[:] for r in data_refs])
+
+        def pot_grad(q):
+            u, g = raw_pot_grad_t(q)
+            if u.ndim == 1:
+                u = u[None, :]
+            u = jnp.clip(
+                jnp.where(jnp.isnan(u), -NEG_INF, u), NEG_INF, -NEG_INF
+            )
+            g = jnp.clip(jnp.where(jnp.isnan(g), 0.0, g), NEG_INF, -NEG_INF)
+            return u, g
+
+        def ke(p):
+            return 0.5 * jnp.sum(p * apply_im(p), axis=0, keepdims=True)
+
+        if internal_prng:
+            pltpu.prng_seed(
+                seed_ref[0] + pl.program_id(0) * BLOCK_SEED_STRIDE
+            )
+            # full Box-Muller: (r·cos, r·sin) — two normals per pair
+            half = (dim + 1) // 2
+            v1 = _uniform_from_bits(pltpu.prng_random_bits((half, blk)))
+            v2 = _uniform_from_bits(pltpu.prng_random_bits((half, blk)))
+            r = jnp.sqrt(-2.0 * jnp.log(v1))
+            ang = 2.0 * jnp.pi * v2
+            z = jnp.concatenate(
+                [r * jnp.cos(ang), r * jnp.sin(ang)], axis=0
+            )[:dim]
+            # noise ~ N(0, M) for diagonal M^{-1}: scale by sqrt(1/M^{-1})
+            noise = jnp.sqrt(1.0 / im) * z
+            u_acc = _uniform_from_bits(pltpu.prng_random_bits((1, blk)))
+        else:
+            noise = noise_ref[:]
+            u_acc = uacc_ref[:]
+
+        q0 = q_ref[:]
+        u0 = u0_ref[:]
+        g0 = g_ref[:]
+        # partial refresh: p ~ N(alpha p, (1 - alpha^2) M)
+        p0 = alpha * p_ref[:] + jnp.sqrt(1.0 - alpha * alpha) * noise
+        e0 = u0 + ke(p0)
+
+        def body(_, qpug):
+            q, p, u, g = qpug
+            p1 = p - 0.5 * eps * g
+            q1 = q + eps * apply_im(p1)
+            u1, g1 = pot_grad(q1)
+            p1 = p1 - 0.5 * eps * g1
+            return q1, p1, u1, g1
+
+        if num_steps == 1:
+            qL, pL, uL, gL = body(0, (q0, p0, u0, g0))
+        else:
+            qL, pL, uL, gL = jax.lax.fori_loop(
+                0, num_steps, body, (q0, p0, u0, g0)
+            )
+
+        # KE is even in p, so the flipped-momentum proposal has the same
+        # energy as the unflipped endpoint
+        e1 = jnp.clip(uL + ke(pL), NEG_INF, -NEG_INF)
+        delta = e0 - e1
+        delta = jnp.clip(
+            jnp.where(jnp.isnan(delta), NEG_INF, delta), NEG_INF, -NEG_INF
+        )
+        div = (jnp.abs(delta) > divergence_threshold).astype(jnp.float32)
+        p_acc = jnp.minimum(1.0, jnp.exp(delta))
+        acc = (u_acc < p_acc).astype(jnp.float32)
+
+        def blend(m, a, b):
+            # true select — rejected proposals may carry inf positions
+            return jnp.where(m > 0.5, a, b)
+
+        q_out[:] = blend(acc, qL, q0)
+        u_out[:] = blend(acc, uL, u0)
+        g_out[:] = blend(acc, gL, g0)
+        # flip-on-reject with persistence (ghmc.py:139-148): accepted
+        # moves store the endpoint momentum un-flipped (-(-pL) = pL) so
+        # the next draw continues forward; rejections store -p0
+        p_out[:] = blend(acc, pL, -p0)
+        zero_s = u0 * 0.0
+        l_row = zero_s + float(num_steps)
+        stats_out[:] = jnp.concatenate(
+            [blend(acc, e1, e0), p_acc, zero_s, l_row, div, zero_s,
+             zero_s, zero_s],
+            axis=0,
+        )
+
+    return _kernel
+
+
+def make_fused_ghmc_transition(
+    potential_fn_t: Callable,
+    data: Sequence[jax.Array] = (),
+    *,
+    divergence_threshold: float = 1000.0,
+    block_chains: int = 1024,
+    num_integration_steps: int = 1,
+    interpret: bool = False,
+    potential_and_grad_t: Callable = None,
+) -> Callable:
+    """Fused whole-transition GHMC kernel (transposed layout).
+
+    Returns ``transition(q, potential, grad, momentum, step_size, alpha,
+    inverse_mass, noise=None, u_accept=None, seed=None) -> (q',
+    potential', grad', momentum', stats)`` in the standard (chains, dim)
+    layout.  ``step_size``/``alpha`` are scalars or per-chain (chains,)
+    vectors; ``inverse_mass`` is a diagonal — (dim,) shared or
+    (chains, dim) per chain (the MEADS per-fold case).  Pass ``seed``
+    (int32) for in-kernel PRNG, or supply ``noise ~ N(0, M)``
+    (chains, dim) and ``u_accept`` (chains,) explicitly (required in
+    interpret mode).  Stats columns match the NUTS/ChEES megakernels:
+    [energy, accept_prob, 0, num_steps, is_diverging, 0, 0, 0].
+
+    Semantics mirror :func:`aehmc_tpu.ghmc.new_noise_kernel` (partial
+    refresh, leapfrog, MH with momentum flip on rejection).
+    """
+
+    if potential_and_grad_t is None:
+
+        def pot_grad_builder_t(*data_vals):
+            def pot_grad_t(q_t):
+                u, pullback = jax.vjp(
+                    lambda qq: potential_fn_t(qq, *data_vals), q_t
+                )
+                (g,) = pullback(jnp.ones_like(u))
+                return u, g
+
+            return pot_grad_t
+    else:
+
+        def pot_grad_builder_t(*data_vals):
+            return lambda q_t: potential_and_grad_t(q_t, *data_vals)
+
+    def transition(q, potential, grad, momentum, step_size, alpha,
+                   inverse_mass, noise=None, u_accept=None, seed=None):
+        num_chains, dim = q.shape
+        internal_prng = seed is not None
+        blk = min(block_chains, num_chains)
+        assert num_chains % blk == 0
+        grid = (num_chains // blk,)
+
+        data_rows = [_as_data_row(d) for d in data]
+
+        def as_row(x):
+            x = jnp.asarray(x, jnp.float32)
+            if x.size == 1:
+                return jnp.full((1, num_chains), x.reshape(()), jnp.float32)
+            return x.reshape(1, num_chains)
+
+        eps = as_row(step_size)
+        alpha_row = as_row(alpha)
+        inverse_mass = jnp.asarray(inverse_mass, jnp.float32)
+        if inverse_mass.ndim == 2:  # (chains, dim) per-chain diagonal
+            im_arg = inverse_mass.T
+        else:  # (dim,) shared diagonal
+            im_arg = jnp.broadcast_to(
+                inverse_mass.reshape(dim, 1), (dim, num_chains)
+            )
+
+        kernel = _make_ghmc_kernel_t(
+            pot_grad_builder_t, len(data_rows),
+            divergence_threshold=divergence_threshold,
+            internal_prng=internal_prng,
+            num_steps=num_integration_steps,
+        )
+        colblk = lambda rows: pl.BlockSpec(  # noqa: E731
+            (rows, blk), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        fixed = lambda *shape: pl.BlockSpec(  # noqa: E731
+            shape, (lambda i: (0,) * len(shape)), memory_space=pltpu.VMEM
+        )
+        state_specs = [colblk(1), colblk(1), colblk(dim), colblk(1),
+                       colblk(dim), colblk(dim)]
+        state_args = [
+            eps,
+            alpha_row,
+            q.T.astype(jnp.float32),
+            potential.reshape(1, num_chains).astype(jnp.float32),
+            grad.T.astype(jnp.float32),
+            momentum.T.astype(jnp.float32),
+        ]
+        if internal_prng:
+            in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), *state_specs]
+            in_args = [jnp.asarray(seed, jnp.int32).reshape(1), *state_args]
+        else:
+            in_specs = [*state_specs, colblk(dim), colblk(1)]
+            in_args = [
+                *state_args,
+                noise.T.astype(jnp.float32),
+                u_accept.reshape(1, num_chains).astype(jnp.float32),
+            ]
+        qt, ut, gt, pt, stats_t = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                *in_specs,
+                *[fixed(*d.shape) for d in data_rows],
+                colblk(dim),  # per-chain diagonal inverse mass
+            ],
+            out_specs=[
+                colblk(dim), colblk(1), colblk(dim), colblk(dim), colblk(8),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((dim, num_chains), jnp.float32),
+                jax.ShapeDtypeStruct((1, num_chains), jnp.float32),
+                jax.ShapeDtypeStruct((dim, num_chains), jnp.float32),
+                jax.ShapeDtypeStruct((dim, num_chains), jnp.float32),
+                jax.ShapeDtypeStruct((8, num_chains), jnp.float32),
+            ],
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*in_args, *data_rows, im_arg)
+        return qt.T, ut.reshape(num_chains, 1), gt.T, pt.T, stats_t.T
+
+    return transition
+
+
+def make_fused_meads_transition(
+    potential_fn_t: Callable,
+    data: Sequence[jax.Array] = (),
+    *,
+    divergence_threshold: float = 1000.0,
+    block_chains: int = 1024,
+    interpret: bool = False,
+    potential_and_grad_t: Callable = None,
+    use_internal_prng: bool = True,
+) -> Callable:
+    """Adapt the fused GHMC kernel to the MEADS fold-transition contract:
+    ``transition(rng_key, fold_states, hyper) -> (fold_states', infos)``
+    with ``fold_states`` an :class:`IntegratorState` batched
+    (num_folds, per_fold, ...) and ``hyper`` per-fold
+    :class:`aehmc_tpu.meads.MeadsHyperparams`.  Plug into
+    ``meads.sample(transition_fn=...)`` /
+    ``sample_sharded(algorithm="meads", meads_transition_fn=...)`` — the
+    complementary-fold estimation stack drives the megakernel unchanged.
+
+    ``use_internal_prng=False`` draws the refresh innovation and MH coin
+    with ``jax.random`` (required in interpret mode).
+    """
+    base = make_fused_ghmc_transition(
+        potential_fn_t, data,
+        divergence_threshold=divergence_threshold,
+        block_chains=block_chains,
+        num_integration_steps=1,
+        interpret=interpret,
+        potential_and_grad_t=potential_and_grad_t,
+    )
+
+    def transition(rng_key, fold_states, hyper):
+        num_folds, per_fold, dim = fold_states.position.shape
+        num_chains = num_folds * per_fold
+
+        def flat(a):
+            return a.reshape((num_chains,) + a.shape[2:])
+
+        def tile(a):  # (folds,) or (folds, dim) -> per-chain
+            return jnp.repeat(a, per_fold, axis=0)
+
+        q = flat(fold_states.position)
+        u = flat(fold_states.potential_energy)
+        g = flat(fold_states.potential_energy_grad)
+        p = flat(fold_states.momentum)
+        eps_c = tile(hyper.step_size)
+        alpha_c = tile(hyper.alpha)
+        imm_c = tile(hyper.inverse_mass_matrix)  # (chains, dim)
+
+        if use_internal_prng:
+            seed = jax.random.randint(
+                rng_key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+            qn, un, gn, pn, stats = base(
+                q, u, g, p, eps_c, alpha_c, imm_c, seed=seed,
+            )
+        else:
+            noise_key, accept_key = jax.random.split(rng_key)
+            z = jax.random.normal(noise_key, (num_chains, dim), jnp.float32)
+            noise = jnp.sqrt(1.0 / imm_c) * z
+            u_acc = jax.random.uniform(
+                accept_key, (num_chains,), jnp.float32
+            )
+            qn, un, gn, pn, stats = base(
+                q, u, g, p, eps_c, alpha_c, imm_c,
+                noise=noise, u_accept=u_acc,
+            )
+
+        def refold(a):
+            return a.reshape((num_folds, per_fold) + a.shape[1:])
+
+        new_states = IntegratorState(
+            position=refold(qn),
+            momentum=refold(pn),
+            potential_energy=refold(un[:, 0]),
+            potential_energy_grad=refold(gn),
+        )
+        infos = Diagnostics(
+            acceptance_probability=refold(stats[:, 1]),
+            num_doublings=refold(
+                jnp.zeros((num_chains,), jnp.int32)
+            ),
+            is_turning=refold(jnp.zeros((num_chains,), bool)),
+            is_diverging=refold(stats[:, 4] > 0.5),
+            energy=refold(stats[:, 0]),
+            num_integration_steps=refold(
+                stats[:, 3].astype(jnp.int32)
+            ),
+        )
+        return new_states, infos
+
+    return transition

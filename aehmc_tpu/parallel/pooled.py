@@ -241,6 +241,7 @@ def sample_sharded(
     mesh=None,
     collect_positions: bool = True,
     meads_recompute_every: int = 1,
+    meads_transition_fn: Callable = None,
     chees_kernel_fn: Callable = None,
     checkpoint_every: int = 0,
     checkpoint_path: Optional[str] = None,
@@ -268,7 +269,11 @@ def sample_sharded(
       estimation (see :mod:`aehmc_tpu.meads`); ``num_warmup`` is burn-in
       only — adaptation is part of the kernel and continues while sampling.
       ``meads_recompute_every=k`` amortizes the eigenvalue estimation over
-      k-draw segments (~3x throughput at 10k chains, see PERF.md).
+      k-draw segments (~3x throughput at 10k chains, see PERF.md);
+      ``meads_transition_fn`` swaps in a custom fold transition — pass
+      :func:`aehmc_tpu.ops.ghmc_fused.make_fused_meads_transition` to
+      run each GHMC sweep as one VMEM-resident Pallas megakernel under
+      the same complementary-fold estimation.
 
     ``per_chain_step_size=True`` (nuts/hmc/mala/ghmc) adapts one dual
     averaging state per chain — each chain's eps tunes against its own
@@ -321,6 +326,7 @@ def sample_sharded(
                     divergence_threshold=divergence_threshold,
                     collect_positions=collect_positions,
                     recompute_every=meads_recompute_every,
+                    transition_fn=meads_transition_fn,
                 )
                 return SampleResult(
                     final_state=final_states,
@@ -340,6 +346,7 @@ def sample_sharded(
             logprob_fn,
             divergence_threshold=divergence_threshold,
             recompute_every=meads_recompute_every,
+            transition_fn=meads_transition_fn,
         )
 
         def meads_burn_step(carry, k):

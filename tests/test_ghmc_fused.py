@@ -1,0 +1,235 @@
+"""Differential tests for the fused GHMC megakernel
+(:mod:`aehmc_tpu.ops.ghmc_fused`): exact parity against a NumPy
+refresh+leapfrog+MH reference with externalized randomness (including
+flip-on-reject momentum persistence), and the MEADS adapter driving
+``meads.sample`` end-to-end in interpret mode."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aehmc_tpu.ops.ghmc_fused import (
+    make_fused_ghmc_transition,
+    make_fused_meads_transition,
+)
+
+
+def _reference_ghmc(q, u, g, p, noise, u_accept, var, imm, eps, alpha,
+                    threshold=1000.0):
+    """NumPy GHMC on the diag Gaussian U = q²/(2·var), f32 arithmetic,
+    mirroring ghmc.new_noise_kernel: partial refresh, ONE leapfrog, MH
+    with momentum flip on rejection (accepted momentum stored
+    un-flipped so the chain continues forward).  ``eps``/``alpha`` may
+    be scalar or (chains,); ``imm`` (dim,) or (chains, dim)."""
+    chains, dim = q.shape
+    f32 = np.float32
+    q, p, g, u = (x.astype(f32).copy() for x in (q, p, g, u))
+    eps = np.broadcast_to(np.asarray(eps, f32), (chains,))[:, None]
+    alpha = np.broadcast_to(np.asarray(alpha, f32), (chains,))[:, None]
+    imm = np.broadcast_to(np.asarray(imm, f32), (chains, dim))
+
+    def pot(qq):
+        return 0.5 * np.sum(qq * qq / var, axis=-1, dtype=f32)
+
+    def grad(qq):
+        return (qq / var).astype(f32)
+
+    def ke(pp):
+        return 0.5 * np.sum(pp * (imm * pp), axis=-1, dtype=f32)
+
+    p0 = alpha * p + np.sqrt(1.0 - alpha * alpha) * noise.astype(f32)
+    e0 = u + ke(p0)
+    pc = p0 - 0.5 * eps * g
+    qc = q + eps * (imm * pc)
+    uc = pot(qc)
+    gc = grad(qc)
+    pc = pc - 0.5 * eps * gc
+    e1 = uc + ke(pc)
+    delta = e0 - e1
+    delta = np.where(np.isnan(delta), -np.inf, delta)
+    div = np.abs(delta) > threshold
+    p_acc = np.minimum(1.0, np.exp(delta))
+    acc = u_accept < p_acc
+    keep = acc[:, None]
+    return {
+        "position": np.where(keep, qc, q),
+        "potential": np.where(acc, uc, u),
+        "grad": np.where(keep, gc, g),
+        "momentum": np.where(keep, pc, -p0),
+        "accept_prob": p_acc,
+        "is_diverging": div,
+        "energy": np.where(acc, e1, e0),
+    }
+
+
+def _inputs(seed, chains=8, dim=6):
+    rng = np.random.default_rng(seed)
+    var = rng.uniform(0.5, 2.0, size=dim).astype(np.float32)
+    q = rng.normal(size=(chains, dim)).astype(np.float32)
+    p = rng.normal(size=(chains, dim)).astype(np.float32)
+    noise = rng.normal(size=(chains, dim)).astype(np.float32)
+    ua = rng.uniform(size=chains).astype(np.float32)
+    U = (0.5 * np.sum(q**2 / var, axis=-1)).astype(np.float32)
+    G = (q / var).astype(np.float32)
+    return var, q, p, noise, ua, U, G
+
+
+def _potential_t(q_t, var_col):
+    return 0.5 * jnp.sum(q_t * q_t / var_col, axis=0)
+
+
+@pytest.mark.parametrize(
+    "eps,alpha", [(0.3, 0.0), (0.5, 0.9), (0.9, 0.5), (25.0, 0.7)]
+)
+def test_fused_ghmc_matches_reference(eps, alpha):
+    for seed in (0, 1):
+        var, q, p, noise, ua, U, G = _inputs(seed)
+        imm = np.ones_like(var)
+        transition = make_fused_ghmc_transition(
+            _potential_t, [var.reshape(-1, 1)],
+            block_chains=4, interpret=True,
+        )
+        qn, un, gn, pn, stats = transition(
+            jnp.asarray(q), jnp.asarray(U), jnp.asarray(G), jnp.asarray(p),
+            eps, alpha, jnp.asarray(imm),
+            noise=jnp.asarray(noise), u_accept=jnp.asarray(ua),
+        )
+        ref = _reference_ghmc(q, U, G, p, noise, ua, var, imm, eps, alpha)
+        np.testing.assert_allclose(
+            np.asarray(qn), ref["position"], rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(pn), ref["momentum"], rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(un)[:, 0], ref["potential"], rtol=1e-5, atol=1e-5
+        )
+        stats = np.asarray(stats)
+        np.testing.assert_allclose(
+            stats[:, 1], ref["accept_prob"], rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            stats[:, 4] > 0.5, ref["is_diverging"]
+        )
+        assert (stats[:, 3] == 1.0).all()
+
+
+def test_fused_ghmc_per_chain_params_and_imm():
+    """Per-chain eps/alpha rows and a per-chain (chains, dim) diagonal
+    inverse mass (the MEADS per-fold case) against the same reference."""
+    var, q, p, noise, ua, U, G = _inputs(3)
+    chains, dim = q.shape
+    rng = np.random.default_rng(7)
+    eps = rng.uniform(0.2, 0.8, size=chains).astype(np.float32)
+    alpha = rng.uniform(0.0, 0.95, size=chains).astype(np.float32)
+    imm = rng.uniform(0.5, 2.0, size=(chains, dim)).astype(np.float32)
+    transition = make_fused_ghmc_transition(
+        _potential_t, [var.reshape(-1, 1)],
+        block_chains=4, interpret=True,
+    )
+    qn, un, gn, pn, stats = transition(
+        jnp.asarray(q), jnp.asarray(U), jnp.asarray(G), jnp.asarray(p),
+        jnp.asarray(eps), jnp.asarray(alpha), jnp.asarray(imm),
+        noise=jnp.asarray(noise), u_accept=jnp.asarray(ua),
+    )
+    ref = _reference_ghmc(q, U, G, p, noise, ua, var, imm, eps, alpha)
+    np.testing.assert_allclose(
+        np.asarray(qn), ref["position"], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(pn), ref["momentum"], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats)[:, 1], ref["accept_prob"], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_fused_meads_transition_drives_sampler():
+    """meads.sample(transition_fn=fused) in interpret mode: the
+    complementary-fold estimation runs on the megakernel's states and
+    the posterior moments land (diag Gaussian), deterministically per
+    seed."""
+    from aehmc_tpu import meads
+
+    VAR = np.asarray([0.5, 2.0, 1.0], np.float32)
+
+    def logprob_fn(x):
+        return -0.5 * jnp.sum(x * x / VAR)
+
+    transition_fn = make_fused_meads_transition(
+        _potential_t, [VAR.reshape(-1, 1)],
+        block_chains=8, interpret=True, use_internal_prng=False,
+    )
+    chains, dim = 16, 3
+    q0 = jax.random.normal(
+        jax.random.PRNGKey(0), (chains, dim), jnp.float32
+    ) * jnp.sqrt(jnp.asarray(VAR))
+
+    def run():
+        return meads.sample(
+            jax.random.PRNGKey(1), logprob_fn, q0,
+            num_samples=300, num_warmup=100,
+            transition_fn=transition_fn,
+        )
+
+    final_states, positions, infos, hyper = run()
+    pos = np.asarray(positions).reshape(-1, dim)
+    assert np.isfinite(pos).all()
+    accept = np.asarray(infos.acceptance_probability)
+    assert 0.5 < accept.mean() <= 1.0
+    # pooled moments of the diag Gaussian (loose: 16 chains x 300 draws)
+    np.testing.assert_allclose(pos.mean(axis=0), 0.0, atol=0.4)
+    np.testing.assert_allclose(pos.var(axis=0), VAR, rtol=0.5)
+    # determinism per seed
+    _, positions2, _, _ = run()
+    np.testing.assert_array_equal(
+        np.asarray(positions), np.asarray(positions2)
+    )
+
+
+def test_fused_meads_matches_xla_fold_transition():
+    """One fused sweep vs the XLA fold transition on identical states and
+    hyperparameters, with the SAME externalized randomness layout (the
+    bulk normal reshapes across the two paths): states match to f32
+    tolerance."""
+    from aehmc_tpu import meads
+
+    VAR = np.asarray([0.5, 2.0, 1.0], np.float32)
+
+    def logprob_fn(x):
+        return -0.5 * jnp.sum(x * x / VAR)
+
+    chains, dim, folds = 16, 3, 4
+    key = jax.random.PRNGKey(5)
+    q0 = jax.random.normal(
+        jax.random.PRNGKey(6), (chains, dim), jnp.float32
+    )
+    states = meads.init_states(jax.random.PRNGKey(7), q0, logprob_fn)
+    hyper = meads.estimate_hyperparams(states, folds)
+
+    def fold(a):
+        return a.reshape((folds, chains // folds) + a.shape[1:])
+
+    fold_states = jax.tree_util.tree_map(fold, states)
+
+    xla_transition = meads._make_fold_transition(logprob_fn)
+    fused_transition = make_fused_meads_transition(
+        _potential_t, [VAR.reshape(-1, 1)],
+        block_chains=8, interpret=True, use_internal_prng=False,
+    )
+    xla_out, xla_info = xla_transition(key, fold_states, hyper)
+    fused_out, fused_info = fused_transition(key, fold_states, hyper)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(xla_out),
+        jax.tree_util.tree_leaves(fused_out),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+        )
+    np.testing.assert_allclose(
+        np.asarray(xla_info.acceptance_probability),
+        np.asarray(fused_info.acceptance_probability),
+        rtol=2e-5, atol=2e-5,
+    )
