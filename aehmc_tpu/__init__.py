@@ -46,6 +46,8 @@ from aehmc_tpu import (  # noqa: F401
     utils,
     window_adaptation,
 )
+from aehmc_tpu import api  # noqa: F401
+from aehmc_tpu.api import sample  # noqa: F401  — the front door
 from aehmc_tpu.types import (  # noqa: F401
     ChainState,
     Diagnostics,

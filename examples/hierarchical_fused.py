@@ -23,35 +23,40 @@ from aehmc_tpu.models import (  # noqa: E402
     eight_schools_pg_t,
     neals_funnel_pg_t,
 )
-from aehmc_tpu.ops.fused_driver import sample_fused_adaptive  # noqa: E402
 from aehmc_tpu.utils import enable_compilation_cache  # noqa: E402
+
+import aehmc_tpu  # noqa: E402
 
 
 def run(name, potential_t, pg, data, dim, *, target=0.85, chains=2048):
     q0 = 0.1 * jax.random.normal(
         jax.random.PRNGKey(0), (chains, dim), jnp.float32
     )
+    # the FRONT DOOR reaches the fused megakernel without ops/ imports:
+    # path="fused" + the transposed model binding (aehmc_tpu.sample)
     f = jax.jit(
-        lambda k: sample_fused_adaptive(
-            k, None, data, q0, num_samples=500, num_warmup=500,
+        lambda k: aehmc_tpu.sample(
+            k, None, q0, num_samples=500, num_warmup=500,
+            path="fused", data=data,
             potential_fn_t=potential_t, potential_and_grad_t=pg,
             max_num_expansions=10,
             block_chains=1024, target_acceptance_rate=target,
         )
     )
     out = f(jax.random.PRNGKey(1))
-    jax.block_until_ready(out[1])  # compile + first run
+    jax.block_until_ready(out.positions)  # compile + first run
     t0 = time.time()
-    qf, pos, stats, eps, imm = f(jax.random.PRNGKey(2))
-    jax.block_until_ready(pos)
+    res = f(jax.random.PRNGKey(2))
+    jax.block_until_ready(res.positions)
     wall = time.time() - t0
-    stats = np.asarray(stats)
+    pos, eps = res.positions, res.step_size
+    accept = float(jnp.mean(res.diagnostics.acceptance_probability))
+    div_frac = float(jnp.mean(res.diagnostics.is_diverging))
     s = summary(jnp.swapaxes(pos, 0, 1)[:, 100:])
     print(
         f"{name}: {wall * 1e3:.0f} ms for 1000 steps x {chains} chains "
-        f"(self-tuned eps {float(eps):.3f}); accept "
-        f"{stats[:, :, 1].mean():.2f}, divergent fraction "
-        f"{stats[:, :, 4].mean():.4f}, max r_hat "
+        f"(self-tuned eps {float(jnp.mean(eps)):.3f}); accept "
+        f"{accept:.2f}, divergent fraction {div_frac:.4f}, max r_hat "
         f"{float(jnp.max(s['r_hat'])):.3f}"
     )
     return pos

@@ -26,8 +26,9 @@ sys.path.insert(
 
 from aehmc_tpu.diagnostics import summary, to_inference_data_dict  # noqa: E402
 from aehmc_tpu.models import logistic_regression_data  # noqa: E402
-from aehmc_tpu.parallel import sample_sharded  # noqa: E402
 from aehmc_tpu.utils import enable_compilation_cache  # noqa: E402
+
+import aehmc_tpu  # noqa: E402
 
 
 def main():
@@ -49,8 +50,10 @@ def main():
     )
 
     # --- 1. sharded sampling with checkpointing -------------------------
+    # the front door: a (chains, dim) batch routes to pooled cross-chain
+    # adaptation sharded over every attached device
     t0 = time.time()
-    res = sample_sharded(
+    res = aehmc_tpu.sample(
         jax.random.PRNGKey(1),
         logprob_fn,
         q0,
@@ -82,33 +85,35 @@ def main():
     # note the TRANSPOSED potential contract: q_t is (dim, block)
     if on_tpu:
         from aehmc_tpu.models import logistic_regression_pg_t
-        from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
 
         # pre-differentiated potential+grad (the production fast path:
-        # hand-written fused u+g, ~+30% over in-kernel vjp at this dim)
+        # hand-written fused u+g, ~+30% over in-kernel vjp at this dim);
+        # path="fused" on the front door runs self-tuning warmup AND
+        # sampling through the megakernel — no ops/ imports
         pot_t, pg, data_pg, _ = logistic_regression_pg_t(
             dim=dim, num_points=num_points, matmul_dtype=jnp.float32
         )
 
         fused = jax.jit(
-            lambda k: sample_fused_small(
-                k, pot_t, list(data_pg), q0, num_draws,
-                res.step_size, res.inverse_mass_matrix,
+            lambda k: aehmc_tpu.sample(
+                k, None, q0, num_draws, num_warmup,
+                path="fused", data=data_pg,
+                potential_fn_t=pot_t, potential_and_grad_t=pg,
                 max_num_expansions=6, block_chains=256,
-                potential_and_grad_t=pg,
+                collect_dtype=jnp.bfloat16,
             )
         )
-        jax.block_until_ready(fused(jax.random.PRNGKey(2))[1])  # compile
+        jax.block_until_ready(fused(jax.random.PRNGKey(2)).positions)
         t0 = time.time()
-        _, positions, stats = fused(jax.random.PRNGKey(3))
-        jax.block_until_ready(positions)
+        fres = fused(jax.random.PRNGKey(3))
+        jax.block_until_ready(fres.positions)
         dt = time.time() - t0
-        stats = np.asarray(stats)
-        evals = stats[:, :, 3].sum()
+        evals = int(jnp.sum(fres.diagnostics.num_integration_steps))
         print(
-            f"fused megakernel (chains-in-lanes): "
-            f"{evals / dt / 1e6:.1f}M grad-evals/s, "
-            f"accept {stats[:, :, 1].mean():.3f}"
+            f"fused megakernel (chains-in-lanes, self-tuning, bf16 draw "
+            f"store): {evals / dt / 1e6:.1f}M grad-evals/s whole-run, "
+            f"accept "
+            f"{float(jnp.mean(fres.diagnostics.acceptance_probability)):.3f}"
         )
 
 
