@@ -655,12 +655,14 @@ def sample_fused_adaptive(
             return wc
         from aehmc_tpu.parallel.mesh import chain_sharding, replicated
 
-        (qug, ast, keys, seeds), base = wc
+        (qug, ast, depth, keys, seeds), base = wc
         rep = replicated(mesh)
+        cs = chain_sharding(mesh)
         return (
             (
-                jax.device_put(qug, chain_sharding(mesh)),
+                jax.device_put(qug, cs),
                 jax.device_put(ast, rep),
+                jax.device_put(depth, cs),  # (chains,) prev-step depth
                 jax.device_put(keys, rep),
                 jax.device_put(seeds, rep),
             ),

@@ -7,7 +7,6 @@ import pytest
 
 from aehmc_tpu import checkpoint, nuts
 from aehmc_tpu.models import std_normal
-from aehmc_tpu.sampling import sample_loop
 
 
 def test_npz_roundtrip_pytree(tmp_path):
@@ -260,3 +259,139 @@ def test_sample_sharded_fused_chees_checkpoint_resume(tmp_path):
     accept = np.asarray(full.diagnostics.acceptance_probability)
     assert np.isfinite(accept).all() and accept.max() > 0.0
     assert np.isfinite(np.asarray(full.positions)).all()
+
+
+def _assert_result_bitwise(a, b):
+    np.testing.assert_array_equal(
+        np.asarray(a.positions), np.asarray(b.positions)
+    )
+    for x, y in zip(
+        jax.tree_util.tree_leaves(a.final_state),
+        jax.tree_util.tree_leaves(b.final_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    np.testing.assert_array_equal(
+        np.asarray(a.step_size), np.asarray(b.step_size)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.inverse_mass_matrix), np.asarray(b.inverse_mass_matrix)
+    )
+
+
+@pytest.mark.parametrize("resume_devices", [4, 1])
+def test_sample_sharded_checkpoint_resume_cross_mesh(
+    tmp_path, resume_devices
+):
+    """Preemption/elasticity (SURVEY.md par.5 checkpoint bullet): a snapshot
+    saved on an 8-device mesh resumes on a 4- or 1-device mesh.  Snapshots
+    store the full logical arrays (the .npz save gathers shards), the
+    resume call re-pins them with the NEW mesh's sharding, and all pooled
+    reductions use fixed-tree pairwise orders that never observe the
+    device layout (tests/test_parallel.py mesh-shape determinism) — so
+    the re-sharded resume equals the uninterrupted 8-device run bitwise."""
+    from aehmc_tpu.parallel import make_mesh, sample_sharded
+
+    logprob_fn = std_normal()
+    key = jax.random.PRNGKey(21)
+    qs = jax.random.normal(jax.random.PRNGKey(22), (16, 2))
+    common = dict(
+        num_samples=30, num_warmup=40, algorithm="nuts",
+        checkpoint_every=10,
+    )
+
+    full = sample_sharded(
+        key, logprob_fn, qs, mesh=make_mesh(),
+        checkpoint_path=str(tmp_path / "full.npz"), **common,
+    )
+    path = str(tmp_path / "run.npz")
+    crashed = sample_sharded(
+        key, logprob_fn, qs, mesh=make_mesh(),
+        checkpoint_path=path, _crash_after_segments=1, **common,
+    )
+    assert crashed is None
+    resumed = sample_sharded(
+        key, logprob_fn, qs, mesh=make_mesh(resume_devices),
+        checkpoint_path=path, resume=True, **common,
+    )
+    _assert_result_bitwise(full, resumed)
+
+
+def test_sample_sharded_warmup_checkpoint_resume_cross_mesh(tmp_path):
+    """A run killed MID-WARMUP on the 8-device mesh resumes on a 4-device
+    mesh from the warmup snapshot and still reproduces the uninterrupted
+    8-device run bit for bit."""
+    import os
+
+    from aehmc_tpu.parallel import make_mesh, sample_sharded
+
+    logprob_fn = std_normal()
+    key = jax.random.PRNGKey(23)
+    qs = jax.random.normal(jax.random.PRNGKey(24), (16, 2))
+    common = dict(
+        num_samples=20, num_warmup=35, algorithm="nuts",
+        checkpoint_every=10,
+    )
+
+    full = sample_sharded(
+        key, logprob_fn, qs, mesh=make_mesh(),
+        checkpoint_path=str(tmp_path / "full.npz"), **common,
+    )
+    path = str(tmp_path / "run.npz")
+    crashed = sample_sharded(
+        key, logprob_fn, qs, mesh=make_mesh(),
+        checkpoint_path=path, _crash_after_warmup_segments=2, **common,
+    )
+    assert crashed is None  # killed during warmup
+    assert os.path.exists(path[: -len(".npz")] + "_warmup.npz")
+    resumed = sample_sharded(
+        key, logprob_fn, qs, mesh=make_mesh(4),
+        checkpoint_path=path, resume=True, **common,
+    )
+    _assert_result_bitwise(full, resumed)
+
+
+def test_fused_adaptive_checkpoint_resume_cross_mesh(tmp_path):
+    """The fused megakernel driver's snapshot re-shards too: killed
+    mid-sampling on the 8-device mesh, resumed on 4 devices (same
+    block_chains, so the GLOBAL-block PRNG seed offsets are unchanged) —
+    bitwise vs the uninterrupted 8-device run."""
+    from aehmc_tpu.ops.fused_driver import sample_fused_adaptive
+    from aehmc_tpu.parallel.mesh import make_mesh
+
+    chains, dim = 16, 2
+    var = jnp.ones((dim, 1), jnp.float32)
+
+    def potential_t(q_t, var_col):
+        return 0.5 * jnp.sum(q_t * q_t / var_col, axis=0)
+
+    qs = jax.random.normal(
+        jax.random.PRNGKey(26), (chains, dim)
+    ).astype(jnp.float32)
+    common = dict(
+        num_samples=20,
+        num_warmup=30,
+        potential_fn_t=potential_t,
+        max_num_expansions=3,
+        block_chains=2,
+        use_internal_prng=False,
+        interpret=True,
+        checkpoint_every=10,
+    )
+    key = jax.random.PRNGKey(25)
+
+    full = sample_fused_adaptive(
+        key, None, [var], qs, mesh=make_mesh(),
+        checkpoint_path=str(tmp_path / "full.npz"), **common,
+    )
+    path = str(tmp_path / "run.npz")
+    crashed = sample_fused_adaptive(
+        key, None, [var], qs, mesh=make_mesh(),
+        checkpoint_path=path, _crash_after_segments=1, **common,
+    )
+    assert crashed is None
+    resumed = sample_fused_adaptive(
+        key, None, [var], qs, mesh=make_mesh(4),
+        checkpoint_path=path, resume=True, **common,
+    )
+    for x, y in zip(full, resumed):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
