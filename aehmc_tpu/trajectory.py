@@ -30,7 +30,7 @@ builds balanced subtrees of exactly ``2**step`` leaves; we implement the
 canonical bound, which is what the checkpoint U-turn scheme assumes.
 """
 
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -193,7 +193,8 @@ def bench_hmc_linear_regression(num_chains=1024, num_draws=100, L=1024):
     log(
         f"[anchor] HMC linreg: {num_chains} chains x {num_draws} draws x "
         f"{L} leapfrog = {grad_evals:,} grad evals in {elapsed:.2f}s "
-        f"-> {evals_per_sec:,.0f} evals/s ({evals_per_sec / BASELINE_GRAD_EVALS_PER_SEC:,.0f}x "
+        f"-> {evals_per_sec:,.0f} evals/s "
+        f"({evals_per_sec / BASELINE_GRAD_EVALS_PER_SEC:,.0f}x "
         f"the reference CPU anchor; mean accept {accept:.3f})"
     )
     return evals_per_sec

@@ -445,7 +445,7 @@ def chees_10k():
     )
 
 
-def _meads_10k_impl(name, recompute_every):
+def _meads_10k_impl(name, recompute_every, transition_fn=None):
     from aehmc_tpu import meads
     from aehmc_tpu.models import logistic_regression
 
@@ -461,6 +461,7 @@ def _meads_10k_impl(name, recompute_every):
         lambda k: meads.sample(
             k, logprob_fn, qs, num_samples=1, num_warmup=500,
             recompute_every=recompute_every,
+            transition_fn=transition_fn,
         )
     )(jax.random.PRNGKey(1))
     jax.block_until_ready(warm[0].position)
@@ -471,6 +472,7 @@ def _meads_10k_impl(name, recompute_every):
         _, pos, infos, _ = meads.sample(
             key, logprob_fn, positions, num_samples=num_draws,
             num_warmup=0, recompute_every=recompute_every,
+            transition_fn=transition_fn,
         )
         return pos, infos.acceptance_probability
 
@@ -515,6 +517,28 @@ def meads_10k_amortized():
     """MEADS with hyperparameter re-estimation every 8 iterations — the
     amortized kernel (aehmc_tpu/meads.py new_kernel recompute_every)."""
     _meads_10k_impl("meads_10k_chains_100d_amortized", 8)
+
+
+def meads_10k_fused():
+    """MEADS through the FUSED GHMC megakernel (ops/ghmc_fused.py,
+    round-4 VERDICT #6): the whole per-fold GHMC sweep — OU momentum
+    refresh, leapfrog, MH accept with flip-on-reject — as one
+    VMEM-resident transposed Pallas kernel with in-kernel PRNG, under
+    the unchanged complementary-fold estimation
+    (meads.sample(transition_fn=...), recompute_every=8)."""
+    from aehmc_tpu.models import logistic_regression_pg_t
+    from aehmc_tpu.ops.ghmc_fused import make_fused_meads_transition
+
+    potential_t, pg, data_t, _ = logistic_regression_pg_t(
+        dim=100, num_points=1000, matmul_dtype=jnp.float32
+    )
+    transition_fn = make_fused_meads_transition(
+        potential_t, list(data_t), potential_and_grad_t=pg,
+        block_chains=1024,
+    )
+    _meads_10k_impl(
+        "meads_10k_chains_100d_fused", 8, transition_fn=transition_fn
+    )
 
 
 def nuts_fused_10k():
@@ -1075,6 +1099,155 @@ def flagship_end_to_end():
         int(np.sum(np.asarray(info_c.num_integration_steps))) * num_chains,
         float(np.mean(np.asarray(info_c.acceptance_probability))),
         int(np.sum(np.asarray(info_c.is_diverging))),
+    )
+
+    # ---------- (d) FUSED ChEES megakernel, same protocol ----------
+    # (round-3 VERDICT #3: the standalone chees_fused_10k config used a
+    # different warmup length, so the apples-to-apples e2e record was
+    # missing — this leg runs the exact flagship protocol through
+    # make_fused_chees_kernel under the same ChEES adaptation stack)
+    from aehmc_tpu.ops.chees_fused import make_fused_chees_kernel
+
+    ck = make_fused_chees_kernel(
+        potential_t, list(data_t), potential_and_grad_t=pg,
+        block_chains=1024,
+    )
+    cfwarm_fn = jax.jit(
+        lambda k: chees.warmup(
+            k, logprob_fn, states, num_steps=W, initial_step_size=0.05,
+            kernel_fn=ck,
+        )
+    )
+    t_warm_cf, cfres = timed(
+        lambda r: cfwarm_fn(jax.random.PRNGKey(70 + r)), 3
+    )
+    cfsamp_fn = jax.jit(
+        lambda k: chees.sample(
+            k, logprob_fn, cfres.states, D, cfres.step_size,
+            cfres.trajectory_length, cfres.inverse_mass_matrix,
+            kernel_fn=ck,
+        )
+    )
+    t_samp_cf, (_, pos_cf, info_cf) = timed(
+        lambda r: cfsamp_fn(jax.random.PRNGKey(80 + r)), TIMED_RUNS
+    )
+    report(
+        "chees_fused", t_warm_cf, t_samp_cf, pos_cf,
+        int(np.sum(np.asarray(info_cf.num_integration_steps))) * num_chains,
+        float(np.mean(np.asarray(info_cf.acceptance_probability))),
+        int(np.sum(np.asarray(info_cf.is_diverging))),
+    )
+
+
+def chees_fused_crossover():
+    """Where does the fused ChEES kernel overtake its own XLA path
+    END-TO-END? (round-3 VERDICT #3/weak-3: at the 200-draw flagship
+    protocol the fused kernel's sampling-only 1.15-1.17x is eaten by
+    its share of the fixed warmup+dispatch cost; PERF.md asserted the
+    crossover 'at 800 draws' without a recorded config.)
+
+    Protocol: each path warms up ONCE under the flagship protocol
+    (W=150, median-of-3), then samples D in {200, 400, 800} draws
+    (median-of-3 each); recorded metric per (path, D) is end-to-end
+    ESS/s = sampling ESS / (warmup + sampling wall).  One summary
+    record states the measured crossover draw count."""
+    from aehmc_tpu import chees, hmc
+    from aehmc_tpu.models import logistic_regression, logistic_regression_pg_t
+    from aehmc_tpu.ops.chees_fused import make_fused_chees_kernel
+
+    dim, num_chains, W = 100, 10_240, 150
+    draws_grid = (200, 400, 800)
+    logprob_fn, q0 = logistic_regression(dim=dim, num_points=1000)
+    keys = jax.random.split(jax.random.PRNGKey(0), num_chains)
+    qs = jnp.tile(q0, (num_chains, 1)) + 0.1 * jax.vmap(
+        lambda k: jax.random.normal(k, (dim,), jnp.float32)
+    )(keys)
+    states = jax.vmap(lambda q: hmc.new_state(q, logprob_fn))(qs)
+    potential_t, pg, data_t, _ = logistic_regression_pg_t(
+        dim=dim, num_points=1000, matmul_dtype=jnp.float32
+    )
+
+    def timed(fn, runs):
+        fn(0)
+        times, out = [], None
+        for r in range(runs):
+            t0 = time.perf_counter()
+            out = fn(1 + r)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times)), out
+
+    e2e = {}
+    for path in ("xla", "fused"):
+        ck = None
+        if path == "fused":
+            ck = make_fused_chees_kernel(
+                potential_t, list(data_t), potential_and_grad_t=pg,
+                block_chains=1024,
+            )
+        warm_fn = jax.jit(
+            lambda k: chees.warmup(
+                k, logprob_fn, states, num_steps=W,
+                initial_step_size=0.05, kernel_fn=ck,
+            )
+        )
+        t_warm, res = timed(
+            lambda r: warm_fn(jax.random.PRNGKey(10 + r)), 3
+        )
+        for D in draws_grid:
+            samp_fn = jax.jit(
+                lambda k, D=D: chees.sample(
+                    k, logprob_fn, res.states, D, res.step_size,
+                    res.trajectory_length, res.inverse_mass_matrix,
+                    kernel_fn=ck,
+                )
+            )
+            t_samp, (_, pos, info) = timed(
+                lambda r: samp_fn(jax.random.PRNGKey(20 + r)), 3
+            )
+            ess_sec, min_ess, capped = _ess_per_sec(pos, t_samp)
+            evals = int(
+                np.sum(np.asarray(info.num_integration_steps))
+            ) * num_chains
+            val = ess_sec * t_samp / (t_warm + t_samp)
+            e2e[(path, D)] = val
+            _emit(
+                f"chees_crossover_{path}_{D}",
+                val,
+                "ESS/s_end_to_end",
+                {
+                    "warmup_wall_s": round(t_warm, 3),
+                    "sampling_wall_s": round(t_samp, 3),
+                    "sampling_grad_evals_per_sec": round(evals / t_samp),
+                    "sampling_ess_per_sec": round(ess_sec),
+                    "min_ess": round(min_ess),
+                    "ess_capped": capped,
+                    "divergences": int(np.sum(np.asarray(info.is_diverging))),
+                    "chains": num_chains,
+                    "draws": D,
+                    "runs": 3,
+                    "stat": "median",
+                },
+            )
+    crossover = next(
+        (D for D in draws_grid if e2e[("fused", D)] >= e2e[("xla", D)]),
+        None,
+    )
+    _emit(
+        "chees_fused_e2e_crossover_draws",
+        -1 if crossover is None else crossover,
+        "draws",
+        {
+            "note": "smallest D in "
+                    f"{list(draws_grid)} where fused ChEES end-to-end "
+                    "ESS/s >= XLA ChEES (-1: never within the grid)",
+            "ratios": {
+                str(D): round(e2e[("fused", D)] / e2e[("xla", D)], 3)
+                for D in draws_grid
+            },
+            "runs": 3,
+            "stat": "median",
+        },
     )
 
 
@@ -1676,6 +1849,42 @@ def funnel_fused_per_chain_eps():
     )
 
 
+def lint_gates():
+    """Executable lint gate (round-3 VERDICT weak #6: CI declares ruff +
+    mypy but neither is installed here and there is no network, so the
+    declared gates had no executable artifact).  Runs the in-repo AST
+    linter (tools/lint.py: E999/F401/F811/F632/W605/E501 approximations)
+    plus a full ``compileall`` syntax pass and records pass/fail.  The
+    ruff/mypy CI jobs remain the richer gates where a network exists."""
+    import compileall
+    import pathlib
+
+    from tools.lint import run as lint_run
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    files, problems = lint_run(root)
+    ok_compile = all(
+        compileall.compile_dir(
+            str(root / d), quiet=2, force=True
+        )
+        for d in ("aehmc_tpu", "tests", "benchmarks", "tools")
+    )
+    for path, lineno, code, msg in problems:
+        log(f"lint: {path}:{lineno}: {code} {msg}")
+    _emit(
+        "lint_gates",
+        0 if (problems or not ok_compile) else 1,
+        "pass",
+        {
+            "files_checked": len(files),
+            "problems": len(problems),
+            "compileall_ok": bool(ok_compile),
+            "note": "tools/lint.py AST checks + compileall; ruff/mypy "
+                    "unavailable offline (CI declares them)",
+        },
+    )
+
+
 CONFIGS = {
     "readme_nuts": readme_nuts,
     "linreg_warmup": linreg_warmup,
@@ -1685,6 +1894,7 @@ CONFIGS = {
     "chees_10k": chees_10k,
     "meads_10k": meads_10k,
     "meads_10k_amortized": meads_10k_amortized,
+    "meads_10k_fused": meads_10k_fused,
     "nuts_fused_10k": nuts_fused_10k,
     "nuts_fused_generic_10k": nuts_fused_generic_10k,
     "nuts_fused_t_10k": nuts_fused_t_10k,
@@ -1700,7 +1910,9 @@ CONFIGS = {
     "chees_fused_10k": chees_fused_10k,
     "sustained_10k": sustained_10k,
     "flagship_end_to_end": flagship_end_to_end,
+    "chees_fused_crossover": chees_fused_crossover,
     "tpu_gates": tpu_gates,
+    "lint_gates": lint_gates,
 }
 
 

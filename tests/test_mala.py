@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from aehmc_tpu import mala
-from aehmc_tpu.models import mvn, normal
+from aehmc_tpu.models import normal
 from aehmc_tpu.sampling import sample_loop
 from tests.test_hmc import assert_mcse_within_error, multivariate_normal_model
 

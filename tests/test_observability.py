@@ -2,7 +2,6 @@
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from aehmc_tpu import nuts, observability
 from aehmc_tpu.models import std_normal
