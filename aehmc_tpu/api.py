@@ -42,8 +42,9 @@ ALGORITHMS = ("nuts", "hmc", "chees", "meads", "ghmc", "mala")
 PATHS = ("auto", "xla", "pooled", "fused")
 
 # algorithms with a fused megakernel transition (ops/nuts_fused_small.py,
-# ops/chees_fused.py); the rest raise a pointed error on path="fused"
-_FUSED_ALGORITHMS = ("nuts", "chees")
+# ops/chees_fused.py, ops/ghmc_fused.py); the rest raise a pointed error
+# on path="fused"
+_FUSED_ALGORITHMS = ("nuts", "chees", "meads")
 
 
 def _resolve_path(path, initial_position, potential_fn_t,
@@ -248,8 +249,10 @@ def sample(
     if algorithm not in _FUSED_ALGORITHMS:
         raise ValueError(
             f"no fused megakernel for algorithm={algorithm!r} (fused paths: "
-            f"{_FUSED_ALGORITHMS}); use path='pooled' — MEADS amortizes via "
-            "meads_recompute_every, HMC/MALA/GHMC run the XLA kernels"
+            f"{_FUSED_ALGORITHMS}); use path='pooled' — HMC/MALA/GHMC run "
+            "the XLA kernels (standalone GHMC keeps the reference's "
+            "user-supplied-hyperparameter contract; the fused GHMC kernel "
+            "runs under MEADS, which estimates them)"
         )
     if potential_fn_t is None:
         if potential_and_grad_t is None:
@@ -259,6 +262,37 @@ def sample(
         else:
             def potential_fn_t(q_t, *rows):  # noqa: F811 — grad path only
                 return potential_and_grad_t(q_t, *rows)[0]
+
+    if algorithm == "meads":
+        from aehmc_tpu.ops.ghmc_fused import make_fused_meads_transition
+        from aehmc_tpu.parallel.pooled import sample_sharded
+
+        kernel_kwargs = {
+            k: kwargs.pop(k)
+            for k in ("block_chains", "interpret", "use_internal_prng")
+            if k in kwargs
+        }
+        if "divergence_threshold" in kwargs:
+            kernel_kwargs["divergence_threshold"] = kwargs[
+                "divergence_threshold"
+            ]
+        transition_fn = make_fused_meads_transition(
+            potential_fn_t, tuple(data),
+            potential_and_grad_t=potential_and_grad_t,
+            mesh=mesh,
+            num_chains=(
+                initial_position.shape[0] if mesh is not None else None
+            ),
+            **kernel_kwargs,
+        )
+        kwargs.setdefault("meads_recompute_every", 8)
+        return sample_sharded(
+            rng_key, logprob_fn, initial_position,
+            num_samples, num_warmup,
+            algorithm="meads", mesh=mesh,
+            meads_transition_fn=transition_fn,
+            **kwargs,
+        )
 
     if algorithm == "chees":
         from aehmc_tpu.ops.chees_fused import make_fused_chees_kernel

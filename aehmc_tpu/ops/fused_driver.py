@@ -63,6 +63,52 @@ def _draw_momentum(key, inverse_mass, num_chains, dim):
     return z @ ms.T if ms.ndim == 2 else ms * z
 
 
+def quantile_snap(
+    values: jax.Array, num_buckets: int, stat: str = "min"
+) -> jax.Array:
+    """Snap a positive per-chain vector to ``num_buckets`` rank-quantile
+    bucket representatives.
+
+    Chains are ranked, split into ``num_buckets`` equal-count buckets, and
+    every chain in a bucket gets the bucket's representative:
+
+    - ``stat="geomean"``: the bucket's GEOMETRIC mean (step sizes live on
+      a log scale — dual averaging tunes log eps).  Pulls the extreme
+      tails to a sane value (the handful of ultra-small-eps chains that
+      dominate wall clock through 2^max_depth trees), but half of each
+      bucket then runs ABOVE its tuned eps — on divergence-prone
+      geometry (the funnel neck) this measurably raises the divergence
+      count.
+    - ``stat="min"``: the bucket's MINIMUM (its lower rank-quantile
+      edge).  No chain ever integrates above its own tuned eps, so the
+      divergence count stays at the continuous per-chain-DA level by
+      construction; the spread is still quantized to ``num_buckets``
+      values, so with depth-sorted scheduling the blocks stay
+      near-eps-uniform.  The ultra-small tail is pulled up to its
+      bucket edge for every bucket but the lowest.
+
+    Order statistics only — the snap is invariant to the device layout
+    and deterministic per input.
+    """
+    n = values.shape[0]
+    order = jnp.argsort(values)
+    ranks = jnp.argsort(order)
+    bucket_of_sorted = (jnp.arange(n, dtype=jnp.int32) * num_buckets) // n
+    sorted_vals = values[order]
+    if stat == "geomean":
+        logs = jnp.log(sorted_vals)
+        sums = jax.ops.segment_sum(logs, bucket_of_sorted, num_buckets)
+        counts = jax.ops.segment_sum(
+            jnp.ones((n,), values.dtype), bucket_of_sorted, num_buckets
+        )
+        reps = jnp.exp(sums / jnp.maximum(counts, 1.0))
+    elif stat == "min":
+        reps = jax.ops.segment_min(sorted_vals, bucket_of_sorted, num_buckets)
+    else:
+        raise ValueError(f"unknown quantile_snap stat {stat!r}")
+    return reps[bucket_of_sorted][ranks].astype(values.dtype)
+
+
 def _external_randomness(key, inverse_mass, num_chains, dim, max_exp):
     """jax.random replacement for the in-kernel PRNG (interpret mode)."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -178,8 +224,24 @@ def warmup_fused_hooks(
     sort_by_depth: bool = False,
     step_size_factors=None,
     per_chain_step_size: bool = False,
+    per_chain_quantiles: int = 0,
+    per_chain_quantile_stat: str = "min",
 ) -> Tuple[Callable, Callable, Callable]:
     """Segmentable fused warmup: ``(init, segment, finish)``.
+
+    ``per_chain_quantiles=K`` (with ``per_chain_step_size=True``) snaps
+    the tuned per-chain step-size vector to K rank-quantile bucket
+    representatives at warmup FINISH (:func:`quantile_snap`): the factor
+    set is MATCHED to the spread per-chain adaptation actually found
+    instead of hand-picked, and sampling runs with at most K distinct
+    eps values, so depth-sorted blocks become near-eps-uniform.  The
+    default ``per_chain_quantile_stat="min"`` uses each bucket's MINIMUM
+    — no chain ever integrates above its own tuned eps, so divergences
+    stay at the continuous per-chain-DA level by construction (measured
+    on the funnel: 132 vs 212 continuous vs 1058 for the geomean snap,
+    which runs half of every bucket hotter than tuned).  Warmup itself
+    is unchanged (continuous per-chain DA); only the returned step size
+    is snapped, so checkpointed warmup resume stays bitwise.
 
     ``per_chain_step_size`` runs one dual-averaging state PER CHAIN
     (all elementwise on (chains,) arrays — the Stan state machine is
@@ -295,7 +357,12 @@ def warmup_fused_hooks(
 
     def finish(wcarry):
         qug, ast, _, _, _ = wcarry
-        return qug, (ast.step_size, ast.inverse_mass_matrix)
+        eps = ast.step_size
+        if per_chain_quantiles and jnp.ndim(eps) > 0:
+            eps = quantile_snap(
+                eps, per_chain_quantiles, per_chain_quantile_stat
+            )
+        return qug, (eps, ast.inverse_mass_matrix)
 
     return init, segment, finish
 
@@ -316,6 +383,8 @@ def warmup_fused(
     sort_by_depth: bool = False,
     step_size_factors=None,
     per_chain_step_size: bool = False,
+    per_chain_quantiles: int = 0,
+    per_chain_quantile_stat: str = "min",
 ) -> Tuple[Tuple[jax.Array, jax.Array, jax.Array], jax.Array, jax.Array]:
     """Stan window adaptation over a fused NUTS transition.
 
@@ -348,6 +417,8 @@ def warmup_fused(
         sort_by_depth=sort_by_depth,
         step_size_factors=step_size_factors,
         per_chain_step_size=per_chain_step_size,
+        per_chain_quantiles=per_chain_quantiles,
+        per_chain_quantile_stat=per_chain_quantile_stat,
     )
     wcarry = init(rng_key, (initial_positions, u0, g0))
     wcarry, _ = segment(wcarry, jnp.arange(num_steps, dtype=jnp.int32))
@@ -377,6 +448,8 @@ def sample_fused_adaptive(
     sort_by_depth: bool = False,
     step_size_factors=None,
     per_chain_step_size: bool = False,
+    per_chain_quantiles: int = 0,
+    per_chain_quantile_stat: str = "min",
     interpret: bool = False,
     mesh=None,
     checkpoint_every: int = 0,
@@ -411,6 +484,17 @@ def sample_fused_adaptive(
     chains keep sampling the region the high-factor chains reject.
     Every chain remains a valid NUTS chain on the same posterior (its ε
     is fixed, so per-chain detailed balance is untouched).
+    ``per_chain_step_size=True`` runs one dual-averaging state per chain
+    instead; ``per_chain_quantiles=K`` additionally snaps the tuned
+    (chains,) ε to K rank-quantile bucket representatives at warmup
+    finish (:func:`quantile_snap`) — the QUANTILE-MATCHED factor set:
+    the spread is the one per-chain adaptation found, but sampling runs
+    at most K distinct ε values, so depth-sorted blocks are
+    near-ε-uniform.  ``per_chain_quantile_stat`` picks the
+    representative: the default ``"min"`` (bucket minimum) never runs a
+    chain above its own tuned ε — divergences stay at the continuous
+    per-chain-DA level — while ``"geomean"`` pulls the ultra-small tail
+    up harder at a measured divergence cost (funnel: 1058 vs 132).
     ``collect_dtype=jnp.bfloat16`` stores the draw history narrowed
     (free vs the ~0.23 ms/draw f32 stacked-copy at the flagship shape,
     half the HBM; sampling arithmetic stays f32).  Pass ``mesh``
@@ -453,6 +537,11 @@ def sample_fused_adaptive(
             "per_chain_step_size requires the transposed kernel — pass "
             "potential_fn_t (per-chain step sizes ride a lane row of "
             "the chains-in-lanes layout)"
+        )
+    if per_chain_quantiles and not per_chain_step_size:
+        raise ValueError(
+            "per_chain_quantiles snaps the PER-CHAIN tuned step sizes — "
+            "set per_chain_step_size=True as well"
         )
     if block_chains is None:
         block_chains = 1024 if small else 256
@@ -573,6 +662,8 @@ def sample_fused_adaptive(
             sort_by_depth=sort_by_depth,
             step_size_factors=step_size_factors,
             per_chain_step_size=per_chain_step_size,
+            per_chain_quantiles=per_chain_quantiles,
+            per_chain_quantile_stat=per_chain_quantile_stat,
         )
 
         key_seed, key_scan = jax.random.split(sample_key)
@@ -610,6 +701,8 @@ def sample_fused_adaptive(
         use_internal_prng=use_internal_prng,
         step_size_factors=step_size_factors,
         per_chain_step_size=per_chain_step_size,
+        per_chain_quantiles=per_chain_quantiles,
+        per_chain_quantile_stat=per_chain_quantile_stat,
     )
 
     def warmup_program(key, positions):
@@ -626,6 +719,8 @@ def sample_fused_adaptive(
             sort_by_depth=sort_by_depth,
             step_size_factors=step_size_factors,
             per_chain_step_size=per_chain_step_size,
+            per_chain_quantiles=per_chain_quantiles,
+            per_chain_quantile_stat=per_chain_quantile_stat,
         )
         return (
             (q, u, g, depth0),

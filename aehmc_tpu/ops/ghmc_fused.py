@@ -299,6 +299,93 @@ def make_fused_ghmc_transition(
     return transition
 
 
+def shard_fused_ghmc_transition(
+    transition: Callable,
+    mesh,
+    num_chains: int,
+    block_chains: int,
+) -> Callable:
+    """Wrap a fused GHMC transition in ``shard_map`` over the chain axis.
+
+    Same scheme as :func:`aehmc_tpu.ops.fused_driver.shard_fused_transition`:
+    each device runs the local ``pallas_call`` on its chain shard; the
+    in-kernel PRNG streams stay GLOBAL-block-indexed (each device offsets
+    the seed by its linearized mesh index × blocks-per-device), so results
+    are bitwise mesh-shape-invariant and equal to the unsharded run as
+    long as ``block_chains`` divides the per-device chain count.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from aehmc_tpu.ops.nuts_fused import BLOCK_SEED_STRIDE as STRIDE
+
+    n_devices = mesh.devices.size
+    if num_chains % n_devices:
+        raise ValueError(
+            f"{num_chains} chains do not shard over {n_devices} devices"
+        )
+    local_chains = num_chains // n_devices
+    blk = min(block_chains, local_chains)
+    if local_chains % blk:
+        raise ValueError(
+            f"block_chains={block_chains} does not tile the per-device "
+            f"chain count {local_chains}"
+        )
+    blocks_per_device = local_chains // blk
+
+    chain_spec = P(mesh.axis_names)
+    rep = P()
+
+    def _device_index():
+        idx = jnp.asarray(0, jnp.int32)
+        for ax in mesh.axis_names:
+            idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+        return idx
+
+    def sharded(q, potential, grad, momentum, step_size, alpha,
+                inverse_mass, noise=None, u_accept=None, seed=None):
+        internal = seed is not None
+
+        def local(q, u, g, p, eps, al, im, noise, uacc, seed):
+            if internal:
+                seed = (
+                    jnp.asarray(seed, jnp.int32)
+                    + _device_index() * (blocks_per_device * STRIDE)
+                )
+            return transition(
+                q, u, g, p, eps, al, im,
+                noise=None if internal else noise,
+                u_accept=None if internal else uacc,
+                seed=seed if internal else None,
+            )
+
+        dummy = jnp.zeros((q.shape[0], 1), jnp.float32)
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                chain_spec, chain_spec, chain_spec, chain_spec,
+                chain_spec, chain_spec, chain_spec,
+                rep if internal else chain_spec,
+                rep if internal else chain_spec,
+                rep,
+            ),
+            out_specs=(
+                chain_spec, chain_spec, chain_spec, chain_spec, chain_spec,
+            ),
+            check_rep=False,
+        )(
+            q, potential.reshape(q.shape[0], -1), grad, momentum,
+            step_size.reshape(q.shape[0]), alpha.reshape(q.shape[0]),
+            inverse_mass,
+            dummy if (internal and noise is None) else noise,
+            dummy if (internal and u_accept is None) else u_accept,
+            seed,
+        )
+
+    return sharded
+
+
 def make_fused_meads_transition(
     potential_fn_t: Callable,
     data: Sequence[jax.Array] = (),
@@ -308,6 +395,8 @@ def make_fused_meads_transition(
     interpret: bool = False,
     potential_and_grad_t: Callable = None,
     use_internal_prng: bool = True,
+    mesh=None,
+    num_chains: int = None,
 ) -> Callable:
     """Adapt the fused GHMC kernel to the MEADS fold-transition contract:
     ``transition(rng_key, fold_states, hyper) -> (fold_states', infos)``
@@ -320,6 +409,12 @@ def make_fused_meads_transition(
 
     ``use_internal_prng=False`` draws the refresh innovation and MH coin
     with ``jax.random`` (required in interpret mode).
+
+    ``mesh`` (with ``num_chains``, the TOTAL chain count) runs the kernel
+    per-device under ``shard_map`` with chains split across the mesh
+    (:func:`shard_fused_ghmc_transition`); the complementary-fold
+    estimation reductions stay outside at jit level where GSPMD lowers
+    them to ICI collectives.
     """
     base = make_fused_ghmc_transition(
         potential_fn_t, data,
@@ -329,6 +424,16 @@ def make_fused_meads_transition(
         interpret=interpret,
         potential_and_grad_t=potential_and_grad_t,
     )
+    if mesh is not None:
+        if num_chains is None:
+            raise ValueError(
+                "mesh sharding needs num_chains (the TOTAL chain count) "
+                "to fix the global-block PRNG seed offsets"
+            )
+        base = shard_fused_ghmc_transition(
+            base, mesh, num_chains,
+            min(block_chains, num_chains // mesh.devices.size),
+        )
 
     def transition(rng_key, fold_states, hyper):
         num_folds, per_fold, dim = fold_states.position.shape

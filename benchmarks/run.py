@@ -60,10 +60,43 @@ def _run_id():
     return _RUN_ID
 
 
+# GATE MAP (VERDICT round-3 #8): every recorded production config names
+# the on-chip statistical gate (tests/test_nuts_fused_tpu.py, run by the
+# tpu_gates config with AEHMC_TPU_SUITE=1) that validates the lever it
+# measures.  _emit stamps the gate into each record so the results file
+# is self-describing.  Configs without a kernel lever (anchors, XLA
+# reference paths) carry no gate.
+GATE_MAP = {
+    "nuts_fused_10k": "test_fused_sampler_inkernel_prng_moments",
+    "nuts_fused_t_10k": "test_small_kernel_internal_prng_moments",
+    "nuts_fused_generic_10k": "test_small_kernel_internal_prng_moments",
+    "nuts_fused_pg_10k": "test_small_kernel_pg_path_moments",
+    "nuts_fused_pg_10k_bf16store": "test_bf16_draw_storage_matches_f32",
+    "nuts_fused_adaptive_10k": "test_adaptive_driver_recovers_variances",
+    "mvn25_fused": "test_small_kernel_dense_metric_moments",
+    "mvn25_dense_fused_adaptive": "test_dense_fused_adaptive_moments",
+    "funnel_fused": "test_small_kernel_internal_prng_moments",
+    "funnel_fused_adaptive": "test_adaptive_driver_sorted_funnel_moments",
+    "funnel_fused_adaptive_depth_sorted":
+        "test_adaptive_driver_sorted_funnel_moments",
+    "funnel_fused_riffled": "test_riffled_step_sizes_funnel_neck_coverage",
+    "funnel_fused_per_chain_eps": "test_per_chain_da_funnel_spread",
+    "funnel_fused_quantile_eps": "test_quantile_snapped_per_chain_eps_funnel",
+    "eight_schools_fused": "test_small_kernel_pg_path_moments",
+    "chees_fused_10k": "test_fused_chees_internal_prng_moments",
+    "meads_10k_chains_100d_fused": "test_fused_meads_transition_moments",
+    "sustained_10k": "test_sustained_800_draw_path",
+    "sharded_1dev": "test_one_device_mesh_sharded_bitwise",
+    "depth_sorted_resume": "test_depth_sorted_checkpoint_resume_bitwise",
+}
+
+
 def _emit(name, value, unit, extra=None):
     rec = {"config": name, "value": round(float(value), 2), "unit": unit}
     if extra:
         rec.update(extra)
+    if name in GATE_MAP:
+        rec.setdefault("gate", GATE_MAP[name])
     rec.setdefault("commit", _run_id())
     rec.setdefault("ts", time.strftime("%Y-%m-%dT%H:%M:%S"))
     line = json.dumps(rec)
@@ -1849,6 +1882,79 @@ def funnel_fused_per_chain_eps():
     )
 
 
+def funnel_fused_quantile_eps():
+    """QUANTILE-MATCHED per-chain step sizes (VERDICT round-3 #7): the
+    per-chain-DA tuned eps vector snapped to 8 rank-quantile bucket
+    MINIMA at warmup finish — the factor set is matched to the spread
+    adaptation actually found (vs the hand-picked riffle tile), sampling
+    runs at most 8 distinct eps values so depth-sorted blocks stay
+    near-eps-uniform, and no chain ever integrates above its own tuned
+    eps (the geomean variant measured 5x the divergences on the gate
+    protocol — see test_quantile_snapped_per_chain_eps_funnel).  Same
+    protocol as funnel_fused_per_chain_eps / funnel_fused_riffled for
+    the three-way A/B (coverage / divergences / wall)."""
+    from aehmc_tpu.models import neals_funnel_pg_t
+    from aehmc_tpu.ops.fused_driver import sample_fused_adaptive
+
+    dim, num_chains = 10, 8192
+    num_warmup, num_draws = 300, 200
+    potential_t, pg, data, _ = neals_funnel_pg_t(dim=dim)
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (num_chains, dim), jnp.float32
+    )
+    f = jax.jit(
+        lambda k: sample_fused_adaptive(
+            k, None, list(data), q0, num_draws, num_warmup,
+            potential_fn_t=potential_t, potential_and_grad_t=pg,
+            max_num_expansions=10, block_chains=1024,
+            target_acceptance_rate=0.85, sort_by_depth=True,
+            per_chain_step_size=True, per_chain_quantiles=8,
+        )
+    )
+    out = f(jax.random.PRNGKey(1))
+    jax.block_until_ready(out[1])
+    dt, out = _median_time(lambda r: f(jax.random.PRNGKey(2 + r)))
+    _, pos, stats, eps, _ = out
+    stats = np.asarray(stats)
+    eps = np.asarray(eps)
+    evals = int(stats[:, :, 3].sum())
+    v = np.asarray(pos)[:, :, 0]
+    low = eps <= np.quantile(eps, 0.25)
+    p_neck_all = float((v < -4.5).mean())
+    p_neck_low = float((v[:, low] < -4.5).mean())
+    ess_sec, min_ess, capped = _ess_per_sec(pos, dt)
+    log(
+        f"funnel_fused_quantile_eps: {len(np.unique(eps))} distinct eps "
+        f"[{eps.min():.4f}, {np.median(eps):.4f}, {eps.max():.4f}], "
+        f"accept {stats[:, :, 1].mean():.3f}, div "
+        f"{int(stats[:, :, 4].sum())}, p(v<-4.5) {p_neck_all:.4f} "
+        f"(low-eps quartile: {p_neck_low:.4f}, truth 0.0668), "
+        f"min ESS {min_ess:.0f}, wall {dt:.3f}s"
+    )
+    _emit(
+        "funnel_fused_quantile_eps",
+        evals / dt,
+        "grad_evals/s",
+        {
+            "ess_per_sec": round(ess_sec),
+            "min_ess": round(min_ess),
+            "ess_capped": capped,
+            "divergences": int(stats[:, :, 4].sum()),
+            "chains": num_chains,
+            "wall_s": round(dt, 3),
+            "neck_p_all": round(p_neck_all, 4),
+            "neck_p_low_quartile": round(p_neck_low, 4),
+            "neck_p_truth": 0.0668,
+            "distinct_eps": int(len(np.unique(eps))),
+            "eps_min": round(float(eps.min()), 5),
+            "eps_median": round(float(np.median(eps)), 5),
+            "eps_max": round(float(eps.max()), 5),
+            "runs": TIMED_RUNS,
+            "stat": "median",
+        },
+    )
+
+
 def lint_gates():
     """Executable lint gate (round-3 VERDICT weak #6: CI declares ruff +
     mypy but neither is installed here and there is no network, so the
@@ -1907,6 +2013,7 @@ CONFIGS = {
     "funnel_fused_adaptive": funnel_fused_adaptive,
     "funnel_fused_riffled": funnel_fused_riffled,
     "funnel_fused_per_chain_eps": funnel_fused_per_chain_eps,
+    "funnel_fused_quantile_eps": funnel_fused_quantile_eps,
     "chees_fused_10k": chees_fused_10k,
     "sustained_10k": sustained_10k,
     "flagship_end_to_end": flagship_end_to_end,

@@ -83,10 +83,12 @@ def test_unknown_algorithm_and_path():
 
 
 def test_fused_path_rejects_unfused_algorithms():
+    # hmc/mala/ghmc have no fused megakernel (meads gained one in
+    # round 4 via the fused GHMC transition)
     with pytest.raises(ValueError, match="fused"):
         aehmc_tpu.sample(
             jax.random.PRNGKey(0), logprob_fn, _chain_batch(),
-            algorithm="meads", path="fused",
+            algorithm="ghmc", path="fused",
         )
 
 
@@ -162,3 +164,32 @@ def test_xla_independent_chains_path():
     # independent chains stack (chains, draws, dim) — sampling.sample_chains
     assert out.positions.shape == (8, 25, 4)
     assert np.isfinite(np.asarray(out.positions)).all()
+
+
+def test_fused_meads_routes_through_transition_fn():
+    """algorithm='meads', path='fused' builds the fused GHMC transition
+    and runs it under the unchanged complementary-fold estimation
+    (interpret mode, external randomness)."""
+    dim, chains = 4, 16
+    var = np.linspace(0.5, 2.0, dim).astype(np.float32)
+
+    def logprob_fn(q):
+        return -0.5 * jnp.sum(q * q / jnp.asarray(var), axis=-1)
+
+    def potential_t(q_t, var_col):
+        return 0.5 * jnp.sum(q_t * q_t / var_col, axis=0)
+
+    q0 = jax.random.normal(
+        jax.random.PRNGKey(0), (chains, dim), jnp.float32
+    )
+    res = aehmc_tpu.sample(
+        jax.random.PRNGKey(1), logprob_fn, q0,
+        num_samples=10, num_warmup=10,
+        algorithm="meads", path="fused",
+        data=[var.reshape(-1, 1)], potential_fn_t=potential_t,
+        block_chains=4, interpret=True, use_internal_prng=False,
+    )
+    assert res.positions.shape == (10, chains, dim)
+    assert np.isfinite(np.asarray(res.positions)).all()
+    acc = np.asarray(res.diagnostics.acceptance_probability)
+    assert acc.shape == (10, chains) and (acc >= 0).all()

@@ -339,3 +339,108 @@ def test_per_chain_step_size_requires_transposed_kernel():
             jax.random.PRNGKey(0), _potential, [VAR], q0,
             per_chain_step_size=True, interpret=True,
         )
+
+
+def test_quantile_snap_properties():
+    """quantile_snap: monotone (rank-preserving up to ties), at most K
+    distinct values; stat="min" (default) gives each bucket its MINIMUM
+    (never above any member — the no-hotter-than-tuned guarantee),
+    stat="geomean" its geometric mean, inside the bucket's range."""
+    from aehmc_tpu.ops.fused_driver import quantile_snap
+
+    rng = np.random.default_rng(0)
+    vals = jnp.asarray(
+        np.exp(rng.normal(size=64) * 2.0 - 3.0), jnp.float32
+    )
+    K = 8
+    vals_np = np.asarray(vals)
+    order = np.argsort(vals_np)
+    sorted_vals = vals_np[order]
+
+    snapped_min = np.asarray(quantile_snap(vals, K))  # default: "min"
+    np.testing.assert_array_equal(
+        snapped_min, np.asarray(quantile_snap(vals, K, "min"))
+    )
+    assert len(np.unique(snapped_min)) <= K
+    assert (np.diff(snapped_min[order]) >= 0).all()
+    # the guarantee the "min" stat exists for: no chain above its own
+    assert (snapped_min <= vals_np).all()
+
+    snapped_geo = np.asarray(quantile_snap(vals, K, "geomean"))
+    assert len(np.unique(snapped_geo)) <= K
+    assert (np.diff(snapped_geo[order]) >= 0).all()
+    sorted_min = snapped_min[order]
+    sorted_geo = snapped_geo[order]
+    for b in range(K):
+        lo, hi = b * 64 // K, (b + 1) * 64 // K
+        bucket = sorted_vals[lo:hi]
+        np.testing.assert_allclose(
+            sorted_geo[lo:hi], np.exp(np.log(bucket).mean()), rtol=1e-5
+        )
+        assert bucket.min() <= sorted_geo[lo] <= bucket.max()
+        np.testing.assert_allclose(
+            sorted_min[lo:hi], bucket.min(), rtol=1e-6
+        )
+
+    with pytest.raises(ValueError):
+        quantile_snap(vals, K, "mean")
+
+
+def test_quantile_snap_uneven_buckets():
+    """Chain counts that don't divide K still cover every chain (the
+    rank->bucket map is floor(rank*K/n): bucket sizes differ by at most
+    one, no empty output)."""
+    from aehmc_tpu.ops.fused_driver import quantile_snap
+
+    vals = jnp.asarray(np.linspace(0.1, 2.0, 13), jnp.float32)
+    snapped = np.asarray(quantile_snap(vals, 4))
+    assert snapped.shape == (13,)
+    assert np.isfinite(snapped).all() and (snapped > 0).all()
+
+
+def test_adaptive_driver_per_chain_quantiles():
+    """per_chain_quantiles=K snaps the tuned per-chain eps to at most K
+    distinct values at warmup finish; warmup itself is unchanged, so the
+    snapped vector is exactly quantile_snap of the unsnapped run's."""
+    from aehmc_tpu.ops.fused_driver import quantile_snap
+
+    chains, dim = 8, VAR.size
+    q0 = jax.random.normal(
+        jax.random.PRNGKey(3), (chains, dim), jnp.float32
+    ) * jnp.sqrt(jnp.asarray(VAR))
+    kwargs = dict(
+        num_samples=20,
+        num_warmup=60,
+        max_num_expansions=4,
+        block_chains=chains,
+        use_internal_prng=False,
+        interpret=True,
+        potential_fn_t=_potential_t,
+    )
+    _, _, _, eps_raw, _ = sample_fused_adaptive(
+        jax.random.PRNGKey(4), None, [VAR.reshape(-1, 1)], q0,
+        per_chain_step_size=True, **kwargs,
+    )
+    _, pos, stats, eps_q, _ = sample_fused_adaptive(
+        jax.random.PRNGKey(4), None, [VAR.reshape(-1, 1)], q0,
+        per_chain_step_size=True, per_chain_quantiles=4, **kwargs,
+    )
+    eps_q = np.asarray(eps_q)
+    assert eps_q.shape == (chains,)
+    assert len(np.unique(eps_q)) <= 4
+    np.testing.assert_array_equal(
+        eps_q, np.asarray(quantile_snap(eps_raw, 4))
+    )
+    assert np.isfinite(np.asarray(pos)).all()
+    assert np.asarray(stats)[:, :, 1].mean() > 0.4
+
+
+def test_per_chain_quantiles_requires_per_chain_step_size():
+    chains, dim = 8, VAR.size
+    q0 = jnp.zeros((chains, dim), jnp.float32)
+    with pytest.raises(ValueError, match="per_chain_step_size"):
+        sample_fused_adaptive(
+            jax.random.PRNGKey(0), None, [VAR.reshape(-1, 1)], q0,
+            potential_fn_t=_potential_t, per_chain_quantiles=8,
+            interpret=True,
+        )

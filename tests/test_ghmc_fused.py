@@ -233,3 +233,86 @@ def test_fused_meads_matches_xla_fold_transition():
         np.asarray(fused_info.acceptance_probability),
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_sharded_fused_ghmc_matches_unsharded():
+    """shard_fused_ghmc_transition over the virtual 8-device mesh equals
+    the unsharded kernel (external randomness; the chain axis is
+    embarrassingly parallel and the per-device blocks see identical
+    inputs)."""
+    from aehmc_tpu.ops.ghmc_fused import shard_fused_ghmc_transition
+    from aehmc_tpu.parallel.mesh import make_mesh
+
+    chains, dim = 16, 6
+    var, q, p, noise, ua, U, G = _inputs(3, chains=chains, dim=dim)
+    imm = np.ones_like(var)
+    transition = make_fused_ghmc_transition(
+        _potential_t, [var.reshape(-1, 1)],
+        block_chains=2, interpret=True,
+    )
+    mesh = make_mesh()
+    sharded = shard_fused_ghmc_transition(transition, mesh, chains, 2)
+    eps = jnp.full((chains,), 0.4, jnp.float32)
+    alpha = jnp.full((chains,), 0.7, jnp.float32)
+    imm_c = jnp.broadcast_to(jnp.asarray(imm), (chains, dim))
+    args = (
+        jnp.asarray(q), jnp.asarray(U), jnp.asarray(G), jnp.asarray(p),
+        eps, alpha, imm_c,
+    )
+    kw = dict(noise=jnp.asarray(noise), u_accept=jnp.asarray(ua))
+    plain = transition(*args, **kw)
+    wrapped = sharded(*args, **kw)
+    for a, b in zip(plain, wrapped):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )
+
+
+def test_fused_meads_transition_mesh_wrapped():
+    """make_fused_meads_transition(mesh=..., num_chains=...) drives
+    meads.sample on the 8-device mesh (external randomness in interpret
+    mode) and matches the unsharded fused run to round-off."""
+    from aehmc_tpu import meads
+    from aehmc_tpu.parallel.mesh import make_mesh
+
+    chains, dim = 16, 4
+    var = np.linspace(0.5, 2.0, dim).astype(np.float32)
+
+    def logprob_fn(qq):
+        return -0.5 * jnp.sum(qq * qq / jnp.asarray(var), axis=-1)
+
+    q0 = jax.random.normal(
+        jax.random.PRNGKey(0), (chains, dim), jnp.float32
+    )
+    kw = dict(
+        potential_and_grad_t=None, block_chains=2, interpret=True,
+        use_internal_prng=False,
+    )
+    tf_plain = make_fused_meads_transition(
+        _potential_t, [var.reshape(-1, 1)], **kw
+    )
+    tf_mesh = make_fused_meads_transition(
+        _potential_t, [var.reshape(-1, 1)],
+        mesh=make_mesh(), num_chains=chains, **kw
+    )
+    out_p = meads.sample(
+        jax.random.PRNGKey(1), logprob_fn, q0, num_samples=5,
+        num_warmup=5, transition_fn=tf_plain,
+    )
+    out_m = meads.sample(
+        jax.random.PRNGKey(1), logprob_fn, q0, num_samples=5,
+        num_warmup=5, transition_fn=tf_mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p[1]), np.asarray(out_m[1]), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_fused_meads_mesh_requires_num_chains():
+    from aehmc_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="num_chains"):
+        make_fused_meads_transition(
+            _potential_t, [np.ones((4, 1), np.float32)],
+            mesh=make_mesh(),
+        )
