@@ -450,6 +450,7 @@ def sample_fused_adaptive(
     per_chain_step_size: bool = False,
     per_chain_quantiles: int = 0,
     per_chain_quantile_stat: str = "min",
+    loop_in_kernel: bool = False,
     interpret: bool = False,
     mesh=None,
     checkpoint_every: int = 0,
@@ -497,7 +498,16 @@ def sample_fused_adaptive(
     up harder at a measured divergence cost (funnel: 1058 vs 132).
     ``collect_dtype=jnp.bfloat16`` stores the draw history narrowed
     (free vs the ~0.23 ms/draw f32 stacked-copy at the flagship shape,
-    half the HBM; sampling arithmetic stays f32).  Pass ``mesh``
+    half the HBM; sampling arithmetic stays f32).
+    ``loop_in_kernel=True`` runs the whole SAMPLING phase as one
+    ``pallas_call`` per chain block (state resident in VMEM across
+    draws, per-draw positions/stats streamed to HBM by async DMA, zero
+    per-draw dispatch) — bitwise-identical to the scan path by seed
+    construction, gated on-chip; requires the transposed kernel with
+    internal PRNG and composes with per-chain eps and dense metrics but
+    not (yet) with ``sort_by_depth``/``mesh``/checkpointing (warmup is
+    unchanged either way — adaptation updates eps/imm between kernel
+    calls).  Pass ``mesh``
     (a ``jax.sharding.Mesh``)
     to shard the chain axis across devices: the kernel runs per-device
     under ``shard_map`` while the pooled-adaptation reductions cross
@@ -543,6 +553,39 @@ def sample_fused_adaptive(
             "per_chain_quantiles snaps the PER-CHAIN tuned step sizes — "
             "set per_chain_step_size=True as well"
         )
+    if loop_in_kernel:
+        if not small:
+            raise ValueError(
+                "loop_in_kernel requires the transposed kernel — pass "
+                "potential_fn_t (the standard-layout megakernel has its "
+                "own loop via ops.nuts_fused.sample_fused)"
+            )
+        if not use_internal_prng:
+            raise ValueError(
+                "loop_in_kernel draws all randomness on-chip — it "
+                "requires use_internal_prng=True"
+            )
+        if sort_by_depth:
+            raise ValueError(
+                "loop_in_kernel keeps each block's chains resident in "
+                "VMEM across draws; sort_by_depth is a global cross-"
+                "block permutation between draws — use the scan path"
+            )
+        if mesh is not None:
+            raise ValueError(
+                "loop_in_kernel does not compose with mesh= yet — the "
+                "sharded path scans per-draw sharded transitions"
+            )
+        if checkpoint_every:
+            raise ValueError(
+                "loop_in_kernel runs the whole sampling phase in one "
+                "kernel — checkpoint segmentation needs the scan path"
+            )
+        if interpret:
+            raise ValueError(
+                "loop_in_kernel uses the on-chip PRNG, which has no "
+                "interpret-mode lowering"
+            )
     if block_chains is None:
         block_chains = 1024 if small else 256
     if mesh is not None:
@@ -667,6 +710,38 @@ def sample_fused_adaptive(
         )
 
         key_seed, key_scan = jax.random.split(sample_key)
+        if loop_in_kernel:
+            from aehmc_tpu.ops.nuts_fused_small import (
+                _fused_sampling_call_t,
+                _pot_grad_builder_t,
+            )
+
+            # one kernel invocation per block runs the whole sampling
+            # phase; base + t*DRAW_SEED_STRIDE matches derive_draw_seeds
+            # on key_seed, so this path is BITWISE-equal to the scan
+            # below (gated on-chip: test_loop_in_kernel_bitwise)
+            eps_run = (
+                eps * step_size_factors
+                if step_size_factors is not None
+                else eps
+            )
+            base = derive_draw_seeds(key_seed, 1)[0]
+            pos_t, stats_t, qf_t, _, _ = _fused_sampling_call_t(
+                _pot_grad_builder_t(potential_fn_t, potential_and_grad_t),
+                data, q.T, u.reshape(1, num_chains), g.T,
+                imm, eps_run, base, num_samples,
+                max_num_expansions=max_num_expansions,
+                divergence_threshold=divergence_threshold,
+                block_chains=block_chains,
+                collect_positions=collect_positions,
+                collect_dtype=collect_dtype,
+            )
+            positions = (
+                None if pos_t is None else jnp.swapaxes(pos_t, 1, 2)
+            )
+            return (
+                qf_t.T, positions, jnp.swapaxes(stats_t, 1, 2), eps, imm
+            )
         keys = jax.random.split(key_scan, num_samples)
         seeds = derive_draw_seeds(key_seed, num_samples)
         (qf, _, _, _), (positions, stats) = jax.lax.scan(

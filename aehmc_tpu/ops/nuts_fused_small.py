@@ -47,6 +47,7 @@ except Exception:  # pragma: no cover
 
 from aehmc_tpu.ops.nuts_fused import (
     BLOCK_SEED_STRIDE,
+    DRAW_SEED_STRIDE,
     NEG_INF,
     derive_draw_seeds,
     _popcount_scalar,
@@ -405,6 +406,56 @@ def _transition_core_t(q0, u0_row, g0, p0, dirs_ref, ubias_ref,
     return prop, div, turn, accept, leaves, doublings
 
 
+def _pot_grad_builder_t(potential_fn_t, potential_and_grad_t):
+    """Data-closing builder for the in-kernel potential+gradient: the
+    hand-written fused ``potential_and_grad_t`` when given, else in-kernel
+    ``jax.vjp`` of ``potential_fn_t``.  Shared by the per-transition and
+    sampling-loop kernels."""
+    if potential_and_grad_t is not None:
+
+        def builder(*data_vals):
+            return lambda q_t: potential_and_grad_t(q_t, *data_vals)
+
+        return builder
+
+    def builder(*data_vals):
+        def pot_grad_t(q_t):
+            u, pullback = jax.vjp(
+                lambda qq: potential_fn_t(qq, *data_vals), q_t
+            )
+            (g,) = pullback(jnp.ones_like(u))
+            return u, g
+
+        return pot_grad_t
+
+    return builder
+
+
+def _gen_momentum_t(dim, blk, *, ms_ref=None, im_col=None):
+    """In-kernel momentum draw, transposed layout (dim, blk).
+
+    Full Box-Muller: each (v1, v2) pair yields TWO normals (r·cos,
+    r·sin), halving the PRNG bits and the log/sqrt relative to the
+    cos-only form (momentum generation was ~0.11 ms/draw of the
+    flagship's fixed cost).  Dense metric (``ms_ref`` given): momentum ~
+    N(0, M) via p = L^{-T} z with L = chol(M^{-1}); otherwise the
+    diagonal ``sqrt(1/im) * z``.  Shared by the per-transition and
+    sampling-loop kernels so both consume identical PRNG streams.
+    """
+    half = (dim + 1) // 2
+    v1 = _uniform_from_bits(pltpu.prng_random_bits((half, blk)))
+    v2 = _uniform_from_bits(pltpu.prng_random_bits((half, blk)))
+    r = jnp.sqrt(-2.0 * jnp.log(v1))
+    ang = 2.0 * jnp.pi * v2
+    z = jnp.concatenate([r * jnp.cos(ang), r * jnp.sin(ang)], axis=0)[:dim]
+    if ms_ref is not None:
+        return jax.lax.dot_general(
+            ms_ref[:], z, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.sqrt(1.0 / im_col) * z
+
+
 def _make_kernel_t(pot_grad_builder_t: Callable, n_data: int, *,
                    max_exp: int, divergence_threshold: float,
                    internal_prng: bool, dense_metric: bool = False,
@@ -459,30 +510,11 @@ def _make_kernel_t(pot_grad_builder_t: Callable, n_data: int, *,
             if "no_momentum" in _ablate:  # timing ablation
                 p0 = jnp.sqrt(1.0 / im_col) * (q_ref[:] * 0.0 + 0.5)
             else:
-                # full Box-Muller: each (v1, v2) pair yields TWO normals
-                # (r·cos, r·sin), halving the PRNG bits and the log/sqrt
-                # relative to the cos-only form (momentum generation was
-                # ~0.11 ms/draw of the flagship's fixed cost)
-                half = (dim + 1) // 2
-                v1 = _uniform_from_bits(
-                    pltpu.prng_random_bits((half, blk))
+                p0 = _gen_momentum_t(
+                    dim, blk,
+                    ms_ref=ms_ref if dense_metric else None,
+                    im_col=None if dense_metric else im_col,
                 )
-                v2 = _uniform_from_bits(
-                    pltpu.prng_random_bits((half, blk))
-                )
-                r = jnp.sqrt(-2.0 * jnp.log(v1))
-                ang = 2.0 * jnp.pi * v2
-                z = jnp.concatenate(
-                    [r * jnp.cos(ang), r * jnp.sin(ang)], axis=0
-                )[:dim]
-                if dense_metric:
-                    # momentum ~ N(0, M): p = L^{-T} z, L = chol(M^{-1})
-                    p0 = jax.lax.dot_general(
-                        ms_ref[:], z, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                else:
-                    p0 = jnp.sqrt(1.0 / im_col) * z
             draw_uniform_row = lambda: _uniform_from_bits(  # noqa: E731
                 pltpu.prng_random_bits((1, blk))
             )
@@ -508,6 +540,299 @@ def _make_kernel_t(pot_grad_builder_t: Callable, n_data: int, *,
         )
 
     return _kernel
+
+
+def _make_sampling_kernel_t(pot_grad_builder_t: Callable, n_data: int, *,
+                            max_exp: int, divergence_threshold: float,
+                            num_draws: int, dense_metric: bool,
+                            per_chain_eps: bool, collect_positions: bool):
+    """Build the FULLY-FUSED transposed sampling-loop kernel.
+
+    The transposed companion to
+    :func:`aehmc_tpu.ops.nuts_fused._make_sampling_kernel`: grid is
+    ``(num_blocks,)``; each grid step runs ALL ``num_draws`` transitions
+    for its chain block in an internal ``fori_loop`` with the (dim, blk)
+    chain state held in VMEM scratch, reseeding the on-chip PRNG per
+    draw with ``seed + t*DRAW_SEED_STRIDE + b*BLOCK_SEED_STRIDE`` — the
+    SAME stream layout as the scan-of-transitions path
+    (:func:`aehmc_tpu.ops.nuts_fused.derive_draw_seeds`), so both paths
+    produce bitwise-identical chains — and streaming each draw's
+    positions/stats straight to HBM with explicit async DMA.  One kernel
+    invocation per block runs the whole sampling phase: zero XLA glue,
+    zero per-draw kernel dispatches, zero block-pipeline prologues
+    between transitions (the remaining per-draw fixed cost the scan path
+    pays; PERF.md round-3 ablation).  The positions stage carries the
+    COLLECT dtype, so a narrowed store (``collect_dtype=bfloat16``) also
+    halves the DMA bytes, not just the HBM footprint.
+    """
+
+    def _kernel(*args):
+        (eps_ref, seed_ref, q_ref, u0_ref, g_ref), refs = (
+            args[:5], args[5:]
+        )
+        data_refs = refs[:n_data]
+        refs = refs[n_data:]
+        im_ref = refs[0]
+        refs = refs[1:]
+        ms_ref = None
+        if dense_metric:
+            ms_ref = refs[0]
+            refs = refs[1:]
+        if collect_positions:
+            (pos_hbm, stats_hbm, q_out, u_out, g_out,
+             sq, su, sg, ck_p, ck_s, pos_stage, stats_stage, sems) = refs
+        else:
+            (stats_hbm, q_out, u_out, g_out,
+             sq, su, sg, ck_p, ck_s, stats_stage, sems) = refs
+            pos_hbm = pos_stage = None
+        b = pl.program_id(0)
+        eps = eps_ref[:] if per_chain_eps else eps_ref[0]
+        dim, blk = sq.shape
+
+        if dense_metric:
+            im_mat = im_ref[:]
+
+            def apply_im(p):
+                return jax.lax.dot_general(
+                    im_mat, p, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        else:
+            im_col = im_ref[:] * jnp.ones((1, blk), jnp.float32)
+
+            def apply_im(p):
+                return im_col * p
+
+        raw_pot_grad_t = pot_grad_builder_t(*[r[:] for r in data_refs])
+
+        sq[:] = q_ref[:]
+        su[:] = u0_ref[:]
+        sg[:] = g_ref[:]
+        # zero the sublane padding once (the DMA ships full padded rows)
+        if collect_positions:
+            pos_stage[:] = jnp.zeros(pos_stage.shape, pos_stage.dtype)
+
+        def one_draw(t, _):
+            # fresh per-(draw, block) stream, same layout as the scan
+            # path: seed_ref[0] is the run base, derive_draw_seeds adds
+            # t*DRAW_SEED_STRIDE outside and _make_kernel_t adds
+            # b*BLOCK_SEED_STRIDE inside — here both are in-kernel
+            pltpu.prng_seed(
+                seed_ref[0]
+                + t * DRAW_SEED_STRIDE
+                + b * BLOCK_SEED_STRIDE
+            )
+            p0 = _gen_momentum_t(
+                dim, blk,
+                ms_ref=ms_ref if dense_metric else None,
+                im_col=None if dense_metric else im_col,
+            )
+            draw_uniform_row = lambda: _uniform_from_bits(  # noqa: E731
+                pltpu.prng_random_bits((1, blk))
+            )
+            prop, div, turn, accept, leaves, doublings = (
+                _transition_core_t(
+                    sq[:], su[:], sg[:], p0,
+                    None, None, None,
+                    apply_im, eps, raw_pot_grad_t, ck_p, ck_s,
+                    max_exp=max_exp,
+                    divergence_threshold=divergence_threshold,
+                    draw_uniform_row=draw_uniform_row,
+                )
+            )
+            sq[:] = prop[0]
+            su[:] = prop[1]
+            sg[:] = prop[2]
+
+            stats_stage[:] = jnp.concatenate(
+                [prop[3], accept, doublings, leaves, div, turn,
+                 prop[3] * 0.0, prop[3] * 0.0],
+                axis=0,
+            )[None]
+            copy_stats = pltpu.make_async_copy(
+                stats_stage,
+                stats_hbm.at[b, pl.ds(t, 1)],
+                sems.at[1],
+            )
+            if collect_positions:
+                pos_stage[:, 0:dim, :] = prop[0][None].astype(
+                    pos_stage.dtype
+                )
+                copy_pos = pltpu.make_async_copy(
+                    pos_stage,
+                    pos_hbm.at[b, pl.ds(t, 1)],
+                    sems.at[0],
+                )
+                copy_pos.start()
+            copy_stats.start()
+            # synchronous for simplicity: <0.5 MB per draw, microseconds
+            if collect_positions:
+                copy_pos.wait()
+            copy_stats.wait()
+            return _
+
+        jax.lax.fori_loop(0, num_draws, one_draw, jnp.asarray(0, jnp.int32))
+
+        q_out[:] = sq[:]
+        u_out[:] = su[:]
+        g_out[:] = sg[:]
+
+    return _kernel
+
+
+def _fused_sampling_call_t(pot_grad_builder_t, data, q_t, u0, g0_t,
+                           inverse_mass, step_size, seed, num_draws, *,
+                           max_num_expansions: int,
+                           divergence_threshold: float,
+                           block_chains: int,
+                           collect_positions: bool = True,
+                           collect_dtype=None,
+                           interpret: bool = False):
+    """Drive the fully-fused transposed sampling-loop kernel.
+
+    TRANSPOSED contract throughout: ``q_t``/``g0_t`` are (dim, chains),
+    ``u0`` is (1, chains); returns ``(positions_t, stats_t, qf_t, uf,
+    gf_t)`` with ``positions_t`` of shape (draws, dim, chains) in
+    ``collect_dtype`` (default f32) and ``stats_t`` (draws, 8, chains).
+    ``step_size`` may be a scalar or a per-chain (chains,) vector.
+    In-kernel PRNG only: ``seed`` is the int32 run base; draw ``t`` in
+    block ``b`` consumes stream ``seed + t*DRAW_SEED_STRIDE +
+    b*BLOCK_SEED_STRIDE``, bitwise-matching the scan-of-transitions
+    path seeded by :func:`derive_draw_seeds` on the same base.
+    """
+    dim, num_chains = q_t.shape
+    K = max_num_expansions
+    assert max_num_expansions <= 14, "max_num_expansions > 14 unsupported"
+    blk = min(block_chains, num_chains)
+    assert num_chains % blk == 0
+    grid = (num_chains // blk,)
+
+    data_rows = [_as_data_row(d) for d in data]
+    eps_arr = jnp.asarray(step_size, jnp.float32)
+    per_chain_eps = eps_arr.size > 1
+    if per_chain_eps:
+        if eps_arr.size != num_chains:
+            raise ValueError(
+                f"per-chain step_size has {eps_arr.size} entries for "
+                f"{num_chains} chains"
+            )
+        eps = eps_arr.reshape(1, num_chains)
+    else:
+        eps = eps_arr.reshape(1)
+    inverse_mass = jnp.asarray(inverse_mass, jnp.float32)
+    dense_metric = inverse_mass.ndim == 2
+    if dense_metric:
+        im_arg = inverse_mass
+        im_spec_shape = (dim, dim)
+        chol = jnp.linalg.cholesky(inverse_mass)
+        mass_sqrt = jax.scipy.linalg.solve_triangular(
+            chol, jnp.eye(dim, dtype=jnp.float32), lower=True, trans=1
+        )
+    else:
+        im_arg = inverse_mass.reshape(dim, 1)
+        im_spec_shape = (dim, 1)
+
+    cdt = jnp.float32 if collect_dtype is None else jnp.dtype(collect_dtype)
+    # pad the streamed positions' SUBLANE axis to the dtype's tile
+    # multiple (f32 tiles are (8, 128), bf16 (16, 128)) so the per-draw
+    # DMA ships whole tiles
+    mult = 16 if jnp.dtype(cdt).itemsize < 4 else 8
+    dpad = -(-dim // mult) * mult
+
+    kernel = _make_sampling_kernel_t(
+        pot_grad_builder_t, len(data_rows),
+        max_exp=max_num_expansions,
+        divergence_threshold=divergence_threshold,
+        num_draws=num_draws,
+        dense_metric=dense_metric,
+        per_chain_eps=per_chain_eps,
+        collect_positions=collect_positions,
+    )
+    colblk = lambda rows: pl.BlockSpec(  # noqa: E731
+        (rows, blk), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    fixed = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, (lambda i: (0,) * len(shape)), memory_space=pltpu.VMEM
+    )
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    eps_spec = (
+        colblk(1) if per_chain_eps
+        else pl.BlockSpec(memory_space=pltpu.SMEM)
+    )
+    pos_out_specs = [hbm_spec] if collect_positions else []
+    pos_out_shape = (
+        [
+            # (blocks, draws, dpad, blk): each draw's DMA writes one
+            # contiguous (1, dpad, blk) slab; reassembled below
+            jax.ShapeDtypeStruct((grid[0], num_draws, dpad, blk), cdt)
+        ]
+        if collect_positions
+        else []
+    )
+    pos_scratch = (
+        [pltpu.VMEM((1, dpad, blk), cdt)] if collect_positions else []
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            eps_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            colblk(dim), colblk(1), colblk(dim),
+            *[fixed(*d.shape) for d in data_rows],
+            fixed(*im_spec_shape),
+            *([fixed(dim, dim)] if dense_metric else []),
+        ],
+        out_specs=[
+            *pos_out_specs, hbm_spec,
+            colblk(dim), colblk(1), colblk(dim),
+        ],
+        out_shape=[
+            *pos_out_shape,
+            jax.ShapeDtypeStruct(
+                (grid[0], num_draws, 8, blk), jnp.float32
+            ),
+            jax.ShapeDtypeStruct((dim, num_chains), jnp.float32),
+            jax.ShapeDtypeStruct((1, num_chains), jnp.float32),
+            jax.ShapeDtypeStruct((dim, num_chains), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((dim, blk), jnp.float32),
+            pltpu.VMEM((1, blk), jnp.float32),
+            pltpu.VMEM((dim, blk), jnp.float32),
+            pltpu.VMEM((K, dim, blk), jnp.float32),
+            pltpu.VMEM((K, dim, blk), jnp.float32),
+            *pos_scratch,
+            pltpu.VMEM((1, 8, blk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        eps,
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        q_t.astype(jnp.float32),
+        u0.reshape(1, num_chains).astype(jnp.float32),
+        g0_t.astype(jnp.float32),
+        *data_rows,
+        im_arg,
+        *([mass_sqrt] if dense_metric else []),
+    )
+    if collect_positions:
+        pos, stats, qf_t, uf, gf_t = outs
+        # (blocks, draws, dpad, blk) -> (draws, dim, chains)
+        pos = jnp.transpose(pos[:, :, 0:dim, :], (1, 2, 0, 3)).reshape(
+            num_draws, dim, num_chains
+        )
+    else:
+        stats, qf_t, uf, gf_t = outs
+        pos = None
+    stats = jnp.transpose(stats, (1, 2, 0, 3)).reshape(
+        num_draws, 8, num_chains
+    )
+    return pos, stats, qf_t, uf, gf_t
 
 
 def make_fused_nuts_transition_small(
@@ -560,21 +885,9 @@ def make_fused_nuts_transition_small(
     shape, ~20% of a tuned draw.
     """
 
-    if potential_and_grad_t is None:
-
-        def pot_grad_builder_t(*data_vals):
-            def pot_grad_t(q_t):
-                u, pullback = jax.vjp(
-                    lambda qq: potential_fn_t(qq, *data_vals), q_t
-                )
-                (g,) = pullback(jnp.ones_like(u))
-                return u, g
-
-            return pot_grad_t
-    else:
-
-        def pot_grad_builder_t(*data_vals):
-            return lambda q_t: potential_and_grad_t(q_t, *data_vals)
+    pot_grad_builder_t = _pot_grad_builder_t(
+        potential_fn_t, potential_and_grad_t
+    )
 
     def transition(q, potential, grad, momentum, directions, u_bias,
                    u_leaf, inverse_mass, step_size, seed=None):
@@ -737,6 +1050,7 @@ def sample_fused_small(
     internal_prng: bool = True,
     sort_by_depth: bool = False,
     potential_and_grad_t: Callable = None,
+    loop_in_kernel: bool = False,
     _interpret: bool = False,
 ):
     """Sampling loop over the transposed small-dim transition.
@@ -772,6 +1086,16 @@ def sample_fused_small(
     slots, so the permutation does not change the sampled distribution —
     with in-kernel PRNG a chain simply consumes the stream of the slot
     it is parked in that draw.
+
+    ``loop_in_kernel=True`` runs the WHOLE sampling phase as one
+    ``pallas_call`` per chain block (:func:`_fused_sampling_call_t`):
+    the chain state lives in VMEM scratch across draws and each draw's
+    positions/stats stream to HBM by async DMA — no per-draw kernel
+    dispatch, scan glue, or block-pipeline prologue.  The PRNG stream
+    layout is identical to the scan path, so the two paths produce
+    bitwise-identical chains.  Requires ``internal_prng`` and is
+    incompatible with ``sort_by_depth`` (the depth sort is a global
+    cross-block permutation between draws).
     """
     num_chains, dim = initial_positions.shape
     lmax = 2**max_num_expansions
@@ -816,6 +1140,43 @@ def sample_fused_small(
         )
         (g0_t,) = pull(jnp.ones_like(u0))
     u0 = u0.reshape(1, num_chains)
+
+    if loop_in_kernel:
+        if not internal_prng:
+            raise ValueError(
+                "loop_in_kernel draws all randomness on-chip — it "
+                "requires internal_prng=True"
+            )
+        if sort_by_depth:
+            raise ValueError(
+                "loop_in_kernel keeps each block's chains resident in "
+                "VMEM across draws; sort_by_depth is a global cross-"
+                "block permutation between draws — use the scan path"
+            )
+        pot_grad_builder_t = _pot_grad_builder_t(
+            potential_fn_t, potential_and_grad_t
+        )
+
+        # same base as derive_draw_seeds on this key -> identical
+        # per-(draw, block) streams as the scan path: bitwise-equal runs
+        base = derive_draw_seeds(rng_key, 1)[0]
+        positions_t, stats_t, qf_t, _, _ = _fused_sampling_call_t(
+            pot_grad_builder_t, data, q0_t, u0, g0_t,
+            inverse_mass, step_size, base, num_samples,
+            max_num_expansions=max_num_expansions,
+            divergence_threshold=divergence_threshold,
+            block_chains=block_chains,
+            collect_positions=collect_positions,
+            collect_dtype=collect_dtype,
+            interpret=_interpret,
+        )
+        qf = qf_t.T
+        stats = jnp.swapaxes(stats_t, 1, 2)
+        pos = (
+            None if positions_t is None
+            else jnp.swapaxes(positions_t, 1, 2)
+        )
+        return qf, pos, stats
 
     depth0 = jnp.zeros((num_chains,), jnp.float32)
 

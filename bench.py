@@ -87,7 +87,7 @@ def bench_flagship_fused(num_chains=10_240, dim=100, W=150, D=200):
     )
     transition = make_fused_nuts_transition_small(
         potential_t, list(data_t),
-        max_num_expansions=6, block_chains=256,
+        max_num_expansions=6, block_chains=512,
         potential_and_grad_t=pg,
     )
     rows = [_as_data_row(d) for d in data_t]
@@ -110,8 +110,9 @@ def bench_flagship_fused(num_chains=10_240, dim=100, W=150, D=200):
     samp_fn = jax.jit(
         lambda k: sample_fused_small(
             k, potential_t, list(data_t), qw, D, eps, imm,
-            max_num_expansions=6, block_chains=256,
+            max_num_expansions=6, block_chains=512,
             potential_and_grad_t=pg, collect_dtype=jnp.bfloat16,
+            loop_in_kernel=True,
         )
     )
     t_samp, (_, pos, stats) = _timed(
@@ -139,6 +140,8 @@ def bench_flagship_fused(num_chains=10_240, dim=100, W=150, D=200):
         "runs": 5,
         "stat": "median",
         "config": "nuts_fused_pg_10k_bf16store + warmup_fused(150)",
+        "block_chains": 512,
+        "loop_in_kernel": True,
         "chains": num_chains,
         "dim": dim,
         "warmup_steps": W,

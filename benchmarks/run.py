@@ -70,8 +70,8 @@ GATE_MAP = {
     "nuts_fused_10k": "test_fused_sampler_inkernel_prng_moments",
     "nuts_fused_t_10k": "test_small_kernel_internal_prng_moments",
     "nuts_fused_generic_10k": "test_small_kernel_internal_prng_moments",
-    "nuts_fused_pg_10k": "test_small_kernel_pg_path_moments",
-    "nuts_fused_pg_10k_bf16store": "test_bf16_draw_storage_matches_f32",
+    "nuts_fused_pg_10k": "test_loop_in_kernel_bitwise",
+    "nuts_fused_pg_10k_bf16store": "test_loop_in_kernel_bitwise",
     "nuts_fused_adaptive_10k": "test_adaptive_driver_recovers_variances",
     "mvn25_fused": "test_small_kernel_dense_metric_moments",
     "mvn25_dense_fused_adaptive": "test_dense_fused_adaptive_moments",
@@ -1052,7 +1052,7 @@ def flagship_end_to_end():
     )
     transition = make_fused_nuts_transition_small(
         potential_t, list(data_t),
-        max_num_expansions=6, block_chains=256,
+        max_num_expansions=6, block_chains=512,
         potential_and_grad_t=pg,
     )
     rows = [_as_data_row(d) for d in data_t]
@@ -1071,8 +1071,8 @@ def flagship_end_to_end():
     fsamp_fn = jax.jit(
         lambda k: sample_fused_small(
             k, potential_t, list(data_t), qw, D, eps_f, imm_f,
-            max_num_expansions=6, block_chains=256,
-            potential_and_grad_t=pg,
+            max_num_expansions=6, block_chains=512,
+            potential_and_grad_t=pg, loop_in_kernel=True,
         )
     )
     t_samp_f, (_, pos_f, stats_f) = timed(
@@ -1093,8 +1093,9 @@ def flagship_end_to_end():
     fsamp16_fn = jax.jit(
         lambda k: sample_fused_small(
             k, potential_t, list(data_t), qw, D, eps_f, imm_f,
-            max_num_expansions=6, block_chains=256,
+            max_num_expansions=6, block_chains=512,
             potential_and_grad_t=pg, collect_dtype=jnp.bfloat16,
+            loop_in_kernel=True,
         )
     )
     t_samp_f16, (_, pos_f16, stats_f16) = timed(
@@ -1398,7 +1399,10 @@ def nuts_fused_pg_10k():
     PRE-DIFFERENTIATED potential+grad (round 3): the hand-written fused
     u+g replaces in-kernel jax.vjp — same math, no residual bookkeeping
     (~+30% measured; bf16 operand passes measured at parity with f32, so
-    matmul dtype stays f32)."""
+    matmul dtype stays f32).  Round 4: the sampling phase runs
+    loop_in_kernel (one pallas_call per block, bitwise-equal to the
+    scan path — test_loop_in_kernel_bitwise) at block_chains=512 (A/B:
+    512 beats 256 by ~4% at this shape; 1024 is parity)."""
     from aehmc_tpu.models import logistic_regression_pg_t
     from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
 
@@ -1415,8 +1419,8 @@ def nuts_fused_pg_10k():
     f = jax.jit(
         lambda k: sample_fused_small(
             k, pot_t, list(data), q0, num_draws, eps, imm,
-            max_num_expansions=6, block_chains=256,
-            potential_and_grad_t=pg,
+            max_num_expansions=6, block_chains=512,
+            potential_and_grad_t=pg, loop_in_kernel=True,
         )
     )
     out = f(jax.random.PRNGKey(1))
@@ -1441,6 +1445,8 @@ def nuts_fused_pg_10k():
             "ess_capped": capped,
             "runs": TIMED_RUNS,
             "stat": "median",
+            "block_chains": 512,
+            "loop_in_kernel": True,
         },
     )
 
@@ -1450,8 +1456,9 @@ def nuts_fused_pg_10k():
     f16 = jax.jit(
         lambda k: sample_fused_small(
             k, pot_t, list(data), q0, num_draws, eps, imm,
-            max_num_expansions=6, block_chains=256,
+            max_num_expansions=6, block_chains=512,
             potential_and_grad_t=pg, collect_dtype=jnp.bfloat16,
+            loop_in_kernel=True,
         )
     )
     out = f16(jax.random.PRNGKey(1))
@@ -1473,6 +1480,8 @@ def nuts_fused_pg_10k():
             "min_ess": round(min_ess),
             "ess_capped": capped,
             "collect_dtype": "bfloat16",
+            "block_chains": 512,
+            "loop_in_kernel": True,
             "runs": TIMED_RUNS,
             "stat": "median",
         },

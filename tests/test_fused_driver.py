@@ -444,3 +444,53 @@ def test_per_chain_quantiles_requires_per_chain_step_size():
             potential_fn_t=_potential_t, per_chain_quantiles=8,
             interpret=True,
         )
+
+
+def test_loop_in_kernel_validation():
+    """loop_in_kernel needs the transposed kernel + internal PRNG and is
+    incompatible with sort_by_depth / mesh / checkpointing / interpret
+    (the on-chip PRNG has no interpret lowering); each combo raises with
+    a message naming the conflict.  Bitwise equality with the scan path
+    is gated on-chip (test_loop_in_kernel_bitwise)."""
+    chains, dim = 8, VAR.size
+    q0 = jnp.zeros((chains, dim), jnp.float32)
+    common = dict(num_samples=4, num_warmup=4, block_chains=chains)
+
+    with pytest.raises(ValueError, match="transposed"):
+        sample_fused_adaptive(
+            jax.random.PRNGKey(0), _potential, [VAR.reshape(1, -1)], q0,
+            loop_in_kernel=True, **common,
+        )
+    for bad in (
+        dict(use_internal_prng=False),
+        dict(sort_by_depth=True),
+        dict(checkpoint_every=2, checkpoint_path="x.npz"),
+        dict(interpret=True),
+    ):
+        with pytest.raises(ValueError):
+            sample_fused_adaptive(
+                jax.random.PRNGKey(0), None, [VAR.reshape(-1, 1)], q0,
+                potential_fn_t=_potential_t, loop_in_kernel=True,
+                **common, **bad,
+            )
+
+
+def test_sample_fused_small_loop_in_kernel_validation():
+    from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
+
+    chains, dim = 8, VAR.size
+    q0 = jnp.zeros((chains, dim), jnp.float32)
+    with pytest.raises(ValueError, match="internal_prng"):
+        sample_fused_small(
+            jax.random.PRNGKey(0), _potential_t, [VAR.reshape(-1, 1)],
+            q0, 4, 0.5, jnp.ones(dim), max_num_expansions=4,
+            block_chains=chains, internal_prng=False,
+            loop_in_kernel=True, _interpret=True,
+        )
+    with pytest.raises(ValueError, match="sort_by_depth"):
+        sample_fused_small(
+            jax.random.PRNGKey(0), _potential_t, [VAR.reshape(-1, 1)],
+            q0, 4, 0.5, jnp.ones(dim), max_num_expansions=4,
+            block_chains=chains, sort_by_depth=True,
+            loop_in_kernel=True,
+        )

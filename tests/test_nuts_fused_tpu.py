@@ -564,3 +564,56 @@ def test_sustained_800_draw_path():
     assert np.isfinite(
         np.asarray(positions).astype(np.float32)
     ).all()
+
+
+@requires_tpu
+def test_loop_in_kernel_bitwise():
+    """The transposed sampling-loop kernel (loop_in_kernel=True on
+    sample_fused_small) must be BITWISE-identical to the
+    scan-of-transitions path: both consume stream seed +
+    t*DRAW_SEED_STRIDE + b*BLOCK_SEED_STRIDE per (draw, block), so the
+    only difference is where the loop lives.  Covers per-chain eps, bf16
+    draw storage, and the adaptive driver's loop route."""
+    from aehmc_tpu.ops.fused_driver import sample_fused_adaptive
+    from aehmc_tpu.ops.nuts_fused_small import sample_fused_small
+
+    def potential_t(q_t, var_col):
+        return 0.5 * jnp.sum(q_t * q_t / var_col, axis=0)
+
+    var_col = jnp.asarray(VAR).reshape(-1, 1)
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(2), (CHAINS, DIM), jnp.float32
+    )
+    key = jax.random.PRNGKey(3)
+    eps_pc = jnp.full((CHAINS,), 0.4, jnp.float32).at[::3].set(0.55)
+    for kw in (
+        dict(step_size=0.5),
+        dict(step_size=eps_pc),  # per-chain eps lane row
+        dict(step_size=0.5, collect_dtype=jnp.bfloat16),
+    ):
+        outs = {}
+        for loop in (False, True):
+            outs[loop] = jax.jit(
+                lambda k, loop=loop, kw=kw: sample_fused_small(
+                    k, potential_t, [var_col], q0, 50,
+                    kw["step_size"], jnp.ones(DIM, jnp.float32),
+                    max_num_expansions=5, block_chains=128,
+                    collect_dtype=kw.get("collect_dtype"),
+                    loop_in_kernel=loop,
+                )
+            )(key)
+        for a, b in zip(outs[False], outs[True]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # adaptive driver route: warmup identical by construction, sampling
+    # phase bitwise between scan and loop
+    for loop in (False, True):
+        outs[loop] = jax.jit(
+            lambda k, loop=loop: sample_fused_adaptive(
+                k, None, [var_col], q0, 40, 30,
+                potential_fn_t=potential_t, max_num_expansions=5,
+                block_chains=128, loop_in_kernel=loop,
+            )
+        )(key)
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
