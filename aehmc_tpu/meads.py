@@ -320,6 +320,7 @@ def sample(
     collect_positions: bool = True,
     recompute_every: int = 1,
     transition_fn: Callable = None,
+    segment_transition_fn: Callable = None,
 ):
     """Burn-in + sampling, one jitted program.
 
@@ -330,6 +331,12 @@ def sample(
     (see :func:`new_kernel`); ``transition_fn`` swaps in a custom fold
     transition (the fused megakernel:
     :func:`aehmc_tpu.ops.ghmc_fused.make_fused_meads_transition`).
+    ``segment_transition_fn`` swaps in a custom SEGMENT — the whole
+    ``recompute_every``-draw inner loop as one call
+    (``segment(key, fold_states, hyper, num_draws, collect)``; the
+    multi-draw megakernel:
+    :func:`aehmc_tpu.ops.ghmc_fused.make_fused_meads_segment`) — and
+    forces the segmented driver.
 
     Returns ``(final_states, positions, infos, hyper)`` with positions
     (draws, chains, dim), ``infos`` a stacked :class:`Diagnostics`, and
@@ -343,7 +350,7 @@ def sample(
         )
     init_key, warm_key, sample_key = jax.random.split(rng_key, 3)
 
-    if recompute_every > 1:
+    if recompute_every > 1 or segment_transition_fn is not None:
         return _sample_segmented(
             init_key, warm_key, sample_key,
             logprob_fn, initial_positions, num_samples, num_warmup,
@@ -353,6 +360,7 @@ def sample(
             collect_positions=collect_positions,
             recompute_every=recompute_every,
             transition_fn=transition_fn,
+            segment_transition_fn=segment_transition_fn,
         )
 
     carry = init_carry(
@@ -391,6 +399,7 @@ def _sample_segmented(
     logprob_fn, initial_positions, num_samples, num_warmup, *,
     num_folds, divergence_threshold, step_size_multiplier,
     collect_positions, recompute_every, transition_fn=None,
+    segment_transition_fn=None,
 ):
     """Amortized MEADS as NESTED scans: the outer scan re-estimates the
     hyperparameters once per ``recompute_every``-draw segment, the inner
@@ -430,6 +439,15 @@ def _sample_segmented(
 
     def segment(fold_states, seg_keys, collect):
         hyper = estimate(fold_states)
+        if segment_transition_fn is not None:
+            # the whole fixed-hyper segment as ONE call (the multi-draw
+            # megakernel); it derives its per-draw streams from the
+            # first segment key
+            fold_states, outs = segment_transition_fn(
+                seg_keys[0], fold_states, hyper,
+                seg_keys.shape[0], collect,
+            )
+            return fold_states, outs, hyper
 
         def inner(fs, key):
             fs2, infos = transition(key, fs, hyper)

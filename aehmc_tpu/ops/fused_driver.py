@@ -504,10 +504,12 @@ def sample_fused_adaptive(
     draws, per-draw positions/stats streamed to HBM by async DMA, zero
     per-draw dispatch) — bitwise-identical to the scan path by seed
     construction, gated on-chip; requires the transposed kernel with
-    internal PRNG and composes with per-chain eps and dense metrics but
-    not (yet) with ``sort_by_depth``/``mesh``/checkpointing (warmup is
-    unchanged either way — adaptation updates eps/imm between kernel
-    calls).  Pass ``mesh``
+    internal PRNG and composes with per-chain eps, dense metrics, and
+    ``mesh=`` (per-device loop kernels under ``shard_map`` with
+    global-block seed offsets, bitwise mesh-shape-invariant like
+    :func:`shard_fused_transition`), but not (yet) with
+    ``sort_by_depth``/checkpointing (warmup is unchanged either way —
+    adaptation updates eps/imm between kernel calls).  Pass ``mesh``
     (a ``jax.sharding.Mesh``)
     to shard the chain axis across devices: the kernel runs per-device
     under ``shard_map`` while the pooled-adaptation reductions cross
@@ -570,11 +572,6 @@ def sample_fused_adaptive(
                 "loop_in_kernel keeps each block's chains resident in "
                 "VMEM across draws; sort_by_depth is a global cross-"
                 "block permutation between draws — use the scan path"
-            )
-        if mesh is not None:
-            raise ValueError(
-                "loop_in_kernel does not compose with mesh= yet — the "
-                "sharded path scans per-draw sharded transitions"
             )
         if checkpoint_every:
             raise ValueError(
@@ -726,16 +723,80 @@ def sample_fused_adaptive(
                 else eps
             )
             base = derive_draw_seeds(key_seed, 1)[0]
-            pos_t, stats_t, qf_t, _, _ = _fused_sampling_call_t(
-                _pot_grad_builder_t(potential_fn_t, potential_and_grad_t),
-                data, q.T, u.reshape(1, num_chains), g.T,
-                imm, eps_run, base, num_samples,
-                max_num_expansions=max_num_expansions,
-                divergence_threshold=divergence_threshold,
-                block_chains=block_chains,
-                collect_positions=collect_positions,
-                collect_dtype=collect_dtype,
+            builder = _pot_grad_builder_t(
+                potential_fn_t, potential_and_grad_t
             )
+
+            def loop_call(q_t, u_row, g_t, eps_v, seed):
+                return _fused_sampling_call_t(
+                    builder, data, q_t, u_row, g_t,
+                    imm, eps_v, seed, num_samples,
+                    max_num_expansions=max_num_expansions,
+                    divergence_threshold=divergence_threshold,
+                    block_chains=block_chains,
+                    collect_positions=collect_positions,
+                    collect_dtype=collect_dtype,
+                )
+
+            if mesh is None:
+                pos_t, stats_t, qf_t, _, _ = loop_call(
+                    q.T, u.reshape(1, num_chains), g.T, eps_run, base
+                )
+            else:
+                # per-device loop kernels under shard_map, with the PRNG
+                # streams indexed by GLOBAL block (seed += device *
+                # blocks_per_device * BLOCK_SEED_STRIDE) — bitwise
+                # mesh-shape-invariant and equal to the unsharded run,
+                # exactly like shard_fused_transition
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                n_dev = mesh.devices.size
+                local_chains = num_chains // n_dev
+                blocks_per_device = local_chains // min(
+                    block_chains, local_chains
+                )
+                lanes = P(None, mesh.axis_names)
+                lanes3 = P(None, None, mesh.axis_names)
+                per_chain_eps = jnp.ndim(eps_run) > 0
+                eps_spec = (
+                    P(mesh.axis_names) if per_chain_eps else P()
+                )
+
+                def _device_index():
+                    idx = jnp.asarray(0, jnp.int32)
+                    for ax in mesh.axis_names:
+                        idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+                    return idx
+
+                def local(q_t, u_row, g_t, eps_v, seed):
+                    seed = seed + _device_index() * (
+                        blocks_per_device * BLOCK_SEED_STRIDE
+                    )
+                    pos_t, stats_t, qf_t, uf, gf_t = loop_call(
+                        q_t, u_row, g_t, eps_v, seed
+                    )
+                    if pos_t is None:
+                        return stats_t, qf_t, uf, gf_t
+                    return pos_t, stats_t, qf_t, uf, gf_t
+
+                out_specs = (
+                    (lanes3, lanes3, lanes, lanes, lanes)
+                    if collect_positions
+                    else (lanes3, lanes, lanes, lanes)
+                )
+                outs = shard_map(
+                    local,
+                    mesh=mesh,
+                    in_specs=(lanes, lanes, lanes, eps_spec, P()),
+                    out_specs=out_specs,
+                    check_rep=False,
+                )(q.T, u.reshape(1, num_chains), g.T, eps_run, base)
+                if collect_positions:
+                    pos_t, stats_t, qf_t, _, _ = outs
+                else:
+                    stats_t, qf_t, _, _ = outs
+                    pos_t = None
             positions = (
                 None if pos_t is None else jnp.swapaxes(pos_t, 1, 2)
             )

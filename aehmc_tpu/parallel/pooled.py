@@ -242,6 +242,7 @@ def sample_sharded(
     collect_positions: bool = True,
     meads_recompute_every: int = 1,
     meads_transition_fn: Callable = None,
+    meads_segment_fn: Callable = None,
     chees_kernel_fn: Callable = None,
     checkpoint_every: int = 0,
     checkpoint_path: Optional[str] = None,
@@ -273,7 +274,10 @@ def sample_sharded(
       ``meads_transition_fn`` swaps in a custom fold transition — pass
       :func:`aehmc_tpu.ops.ghmc_fused.make_fused_meads_transition` to
       run each GHMC sweep as one VMEM-resident Pallas megakernel under
-      the same complementary-fold estimation.
+      the same complementary-fold estimation; ``meads_segment_fn``
+      (:func:`aehmc_tpu.ops.ghmc_fused.make_fused_meads_segment`) goes
+      further and runs each whole ``meads_recompute_every``-draw segment
+      as ONE kernel dispatch (not composable with checkpointing yet).
 
     ``per_chain_step_size=True`` (nuts/hmc/mala/ghmc) adapts one dual
     averaging state per chain — each chain's eps tunes against its own
@@ -307,6 +311,13 @@ def sample_sharded(
     if algorithm == "meads":
         from aehmc_tpu import meads
 
+        if meads_segment_fn is not None and checkpoint_every:
+            raise ValueError(
+                "meads_segment_fn does not compose with checkpointing "
+                "yet — the checkpointed MEADS carrier steps the per-draw "
+                "kernel"
+            )
+
         if mesh is None and len(jax.devices()) > 1:
             mesh = make_mesh()
         if mesh is not None:
@@ -327,6 +338,7 @@ def sample_sharded(
                     collect_positions=collect_positions,
                     recompute_every=meads_recompute_every,
                     transition_fn=meads_transition_fn,
+                    segment_transition_fn=meads_segment_fn,
                 )
                 return SampleResult(
                     final_state=final_states,

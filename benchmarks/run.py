@@ -85,6 +85,7 @@ GATE_MAP = {
     "eight_schools_fused": "test_small_kernel_pg_path_moments",
     "chees_fused_10k": "test_fused_chees_internal_prng_moments",
     "meads_10k_chains_100d_fused": "test_fused_meads_transition_moments",
+    "meads_10k_chains_100d_fused_seg": "test_fused_meads_segment_moments",
     "sustained_10k": "test_sustained_800_draw_path",
     "sharded_1dev": "test_one_device_mesh_sharded_bitwise",
     "depth_sorted_resume": "test_depth_sorted_checkpoint_resume_bitwise",
@@ -478,7 +479,8 @@ def chees_10k():
     )
 
 
-def _meads_10k_impl(name, recompute_every, transition_fn=None):
+def _meads_10k_impl(name, recompute_every, transition_fn=None,
+                    segment_transition_fn=None):
     from aehmc_tpu import meads
     from aehmc_tpu.models import logistic_regression
 
@@ -495,6 +497,7 @@ def _meads_10k_impl(name, recompute_every, transition_fn=None):
             k, logprob_fn, qs, num_samples=1, num_warmup=500,
             recompute_every=recompute_every,
             transition_fn=transition_fn,
+            segment_transition_fn=segment_transition_fn,
         )
     )(jax.random.PRNGKey(1))
     jax.block_until_ready(warm[0].position)
@@ -506,6 +509,7 @@ def _meads_10k_impl(name, recompute_every, transition_fn=None):
             key, logprob_fn, positions, num_samples=num_draws,
             num_warmup=0, recompute_every=recompute_every,
             transition_fn=transition_fn,
+            segment_transition_fn=segment_transition_fn,
         )
         return pos, infos.acceptance_probability
 
@@ -571,6 +575,31 @@ def meads_10k_fused():
     )
     _meads_10k_impl(
         "meads_10k_chains_100d_fused", 8, transition_fn=transition_fn
+    )
+
+
+def meads_10k_fused_seg():
+    """MEADS through the MULTI-DRAW fused GHMC segment kernel
+    (ops/ghmc_fused.fused_ghmc_segment, round 4): the whole
+    recompute_every=8 segment — eight OU-refresh+leapfrog+MH draws — as
+    ONE kernel dispatch per chain block with the (q, u, g, p) state
+    resident in VMEM between draws and per-draw in-kernel PRNG.  The
+    per-draw fused transition (meads_10k_fused) still pays one pallas
+    dispatch + four (chains, dim) HBM round-trips per single gradient;
+    this amortizes both 8x."""
+    from aehmc_tpu.models import logistic_regression_pg_t
+    from aehmc_tpu.ops.ghmc_fused import make_fused_meads_segment
+
+    potential_t, pg, data_t, _ = logistic_regression_pg_t(
+        dim=100, num_points=1000, matmul_dtype=jnp.float32
+    )
+    segment_fn = make_fused_meads_segment(
+        potential_t, list(data_t), potential_and_grad_t=pg,
+        block_chains=1024,
+    )
+    _meads_10k_impl(
+        "meads_10k_chains_100d_fused_seg", 8,
+        segment_transition_fn=segment_fn,
     )
 
 
@@ -2010,6 +2039,7 @@ CONFIGS = {
     "meads_10k": meads_10k,
     "meads_10k_amortized": meads_10k_amortized,
     "meads_10k_fused": meads_10k_fused,
+    "meads_10k_fused_seg": meads_10k_fused_seg,
     "nuts_fused_10k": nuts_fused_10k,
     "nuts_fused_generic_10k": nuts_fused_generic_10k,
     "nuts_fused_t_10k": nuts_fused_t_10k,

@@ -316,3 +316,116 @@ def test_fused_meads_mesh_requires_num_chains():
             _potential_t, [np.ones((4, 1), np.float32)],
             mesh=make_mesh(),
         )
+
+
+def test_fused_ghmc_segment_matches_sequential_transitions():
+    """The multi-draw segment kernel (fused_ghmc_segment) with
+    externalized randomness is BITWISE the sequence of single-draw
+    kernel transitions fed the per-draw noise slices — the state never
+    leaving VMEM must not change a single bit, and the per-draw
+    positions/stats written with dynamic leading-index stores must match
+    the per-draw outputs."""
+    from aehmc_tpu.ops.ghmc_fused import fused_ghmc_segment
+
+    num_draws, chains, dim = 5, 8, 6
+    rng = np.random.default_rng(42)
+    var = rng.uniform(0.5, 2.0, size=dim).astype(np.float32)
+    q = rng.normal(size=(chains, dim)).astype(np.float32)
+    p = rng.normal(size=(chains, dim)).astype(np.float32)
+    U = (0.5 * np.sum(q**2 / var, axis=-1)).astype(np.float32)
+    G = (q / var).astype(np.float32)
+    noise = rng.normal(size=(num_draws, chains, dim)).astype(np.float32)
+    ua = rng.uniform(size=(num_draws, chains)).astype(np.float32)
+    eps, alpha = 0.35, 0.8
+    imm = np.ones_like(var)
+
+    seg = fused_ghmc_segment(
+        _potential_t, [var.reshape(-1, 1)],
+        block_chains=4, interpret=True,
+    )
+    pos, stats, qn, un, gn, pn = seg(
+        jnp.asarray(q), jnp.asarray(U), jnp.asarray(G), jnp.asarray(p),
+        eps, alpha, jnp.asarray(imm), num_draws,
+        noise=jnp.asarray(noise), u_accept=jnp.asarray(ua),
+    )
+
+    transition = make_fused_ghmc_transition(
+        _potential_t, [var.reshape(-1, 1)],
+        block_chains=4, interpret=True,
+    )
+    sq, su, sg, sp = (
+        jnp.asarray(q), jnp.asarray(U), jnp.asarray(G), jnp.asarray(p)
+    )
+    for t in range(num_draws):
+        sq, su_col, sg, sp, st = transition(
+            sq, su, sg, sp, eps, alpha, jnp.asarray(imm),
+            noise=jnp.asarray(noise[t]), u_accept=jnp.asarray(ua[t]),
+        )
+        su = su_col[:, 0]
+        np.testing.assert_array_equal(
+            np.asarray(pos[t]), np.asarray(sq)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(stats[t]), np.asarray(st)
+        )
+    np.testing.assert_array_equal(np.asarray(qn), np.asarray(sq))
+    np.testing.assert_array_equal(np.asarray(un)[:, 0], np.asarray(su))
+    np.testing.assert_array_equal(np.asarray(gn), np.asarray(sg))
+    np.testing.assert_array_equal(np.asarray(pn), np.asarray(sp))
+
+    # collect_positions=False drops the positions output only
+    pos2, stats2, qn2, _, _, _ = seg(
+        jnp.asarray(q), jnp.asarray(U), jnp.asarray(G), jnp.asarray(p),
+        eps, alpha, jnp.asarray(imm), num_draws,
+        noise=jnp.asarray(noise), u_accept=jnp.asarray(ua),
+        collect_positions=False,
+    )
+    assert pos2 is None
+    np.testing.assert_array_equal(np.asarray(stats2), np.asarray(stats))
+    np.testing.assert_array_equal(np.asarray(qn2), np.asarray(qn))
+
+
+def test_fused_meads_segment_drives_sampler():
+    """meads.sample(segment_transition_fn=...) in interpret mode: the
+    whole recompute_every segment runs as one kernel call per block;
+    the estimation stack above is unchanged; posterior moments land and
+    the run is deterministic per seed."""
+    from aehmc_tpu import meads
+    from aehmc_tpu.ops.ghmc_fused import make_fused_meads_segment
+
+    VAR = np.asarray([0.5, 2.0, 1.0], np.float32)
+
+    def logprob_fn(x):
+        return -0.5 * jnp.sum(x * x / VAR)
+
+    segment_fn = make_fused_meads_segment(
+        _potential_t, [VAR.reshape(-1, 1)],
+        block_chains=8, interpret=True, use_internal_prng=False,
+    )
+    chains, dim = 16, 3
+    q0 = jax.random.normal(
+        jax.random.PRNGKey(0), (chains, dim), jnp.float32
+    ) * jnp.sqrt(jnp.asarray(VAR))
+
+    def run():
+        return meads.sample(
+            jax.random.PRNGKey(1), logprob_fn, q0,
+            num_samples=300, num_warmup=104,
+            recompute_every=8,
+            segment_transition_fn=segment_fn,
+        )
+
+    final_states, positions, infos, hyper = run()
+    pos = np.asarray(positions)
+    assert pos.shape == (300, chains, dim)  # trimmed to the request
+    pos = pos.reshape(-1, dim)
+    assert np.isfinite(pos).all()
+    accept = np.asarray(infos.acceptance_probability)
+    assert accept.shape[0] == 300
+    assert 0.5 < accept.mean() <= 1.0
+    np.testing.assert_allclose(pos.mean(axis=0), 0.0, atol=0.4)
+    np.testing.assert_allclose(pos.var(axis=0), VAR, rtol=0.5)
+    _, positions2, _, _ = run()
+    np.testing.assert_array_equal(
+        np.asarray(positions), np.asarray(positions2)
+    )

@@ -617,3 +617,77 @@ def test_loop_in_kernel_bitwise():
         )(key)
     for a, b in zip(outs[False], outs[True]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@requires_tpu
+def test_fused_meads_segment_moments():
+    """The MULTI-DRAW fused GHMC segment kernel under MEADS (one kernel
+    dispatch per recompute_every segment, in-kernel per-draw PRNG,
+    bench config meads_10k_fused_seg): posterior moments on the diag
+    Gaussian and per-seed determinism."""
+    from aehmc_tpu import meads
+    from aehmc_tpu.ops.ghmc_fused import make_fused_meads_segment
+
+    def logprob_fn(q):
+        return -0.5 * jnp.sum(q * q / jnp.asarray(VAR), axis=-1)
+
+    def potential_t(q_t, var_col):
+        return 0.5 * jnp.sum(q_t * q_t / var_col, axis=0)
+
+    seg = make_fused_meads_segment(
+        potential_t, [jnp.asarray(VAR).reshape(-1, 1)],
+        block_chains=CHAINS,
+    )
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(30), (CHAINS, DIM), jnp.float32
+    )
+    run = jax.jit(
+        lambda k: meads.sample(
+            k, logprob_fn, q0, num_samples=DRAWS, num_warmup=304,
+            recompute_every=8, segment_transition_fn=seg,
+        )
+    )
+    _, positions, infos, _ = run(jax.random.PRNGKey(31))
+    accept = np.asarray(infos.acceptance_probability)
+    assert accept.mean() > 0.6
+    assert np.asarray(positions).shape[0] == DRAWS
+    _check_moments(positions)
+    _, positions2, _, _ = run(jax.random.PRNGKey(31))
+    np.testing.assert_array_equal(
+        np.asarray(positions), np.asarray(positions2)
+    )
+
+
+@requires_tpu
+def test_loop_in_kernel_mesh_bitwise():
+    """loop_in_kernel under a make_mesh(1) shard_map must be BITWISE
+    equal to the unsharded loop kernel AND to the scan path (the
+    per-device loop kernel offsets its seed by the global block index,
+    like shard_fused_transition)."""
+    from aehmc_tpu.ops.fused_driver import sample_fused_adaptive
+    from aehmc_tpu.parallel.mesh import make_mesh
+
+    def potential_t(q_t, var_col):
+        return 0.5 * jnp.sum(q_t * q_t / var_col, axis=0)
+
+    q0 = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(32), (CHAINS, DIM), jnp.float32
+    )
+    common = dict(
+        num_samples=40, num_warmup=40,
+        potential_fn_t=potential_t, max_num_expansions=5,
+        block_chains=128,
+    )
+    key = jax.random.PRNGKey(33)
+    data = [jnp.asarray(VAR).reshape(-1, 1)]
+    plain = sample_fused_adaptive(
+        key, None, data, q0, loop_in_kernel=True, **common
+    )
+    meshed = sample_fused_adaptive(
+        key, None, data, q0, loop_in_kernel=True, mesh=make_mesh(1),
+        **common,
+    )
+    scan = sample_fused_adaptive(key, None, data, q0, **common)
+    for a, b, c in zip(plain, meshed, scan):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
