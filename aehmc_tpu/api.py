@@ -44,7 +44,7 @@ PATHS = ("auto", "xla", "pooled", "fused")
 # algorithms with a fused megakernel transition (ops/nuts_fused_small.py,
 # ops/chees_fused.py, ops/ghmc_fused.py); the rest raise a pointed error
 # on path="fused"
-_FUSED_ALGORITHMS = ("nuts", "chees", "meads")
+_FUSED_ALGORITHMS = ("nuts", "chees", "meads", "mala")
 
 
 def _resolve_path(path, initial_position, potential_fn_t,
@@ -153,7 +153,7 @@ def sample(
     logprob_fn
         ``position -> scalar log density`` (the reference's model
         contract, ref README.md:35-37).  May be ``None`` only on the
-        fused-NUTS route with an explicit ``potential_fn_t`` /
+        fused NUTS/MALA routes with an explicit ``potential_fn_t`` /
         ``potential_and_grad_t`` binding (the megakernel consumes the
         transposed potential directly).
     initial_position
@@ -201,12 +201,12 @@ def sample(
     )
     if logprob_fn is None and not (
         route == "fused"
-        and algorithm == "nuts"
+        and algorithm in ("nuts", "mala")
         and (potential_fn_t is not None or potential_and_grad_t is not None)
     ):
         raise ValueError(
-            "logprob_fn may be None only on the fused NUTS route with an "
-            "explicit potential_fn_t/potential_and_grad_t binding"
+            "logprob_fn may be None only on the fused NUTS/MALA routes "
+            "with an explicit potential_fn_t/potential_and_grad_t binding"
         )
 
     if route == "xla":
@@ -249,10 +249,11 @@ def sample(
     if algorithm not in _FUSED_ALGORITHMS:
         raise ValueError(
             f"no fused megakernel for algorithm={algorithm!r} (fused paths: "
-            f"{_FUSED_ALGORITHMS}); use path='pooled' — HMC/MALA/GHMC run "
-            "the XLA kernels (standalone GHMC keeps the reference's "
+            f"{_FUSED_ALGORITHMS}); use path='pooled' — HMC/GHMC run the "
+            "XLA kernels (standalone GHMC keeps the reference's "
             "user-supplied-hyperparameter contract; the fused GHMC kernel "
-            "runs under MEADS, which estimates them)"
+            "runs under MEADS, which estimates them, and under MALA at "
+            "alpha=0)"
         )
     if potential_fn_t is None:
         if potential_and_grad_t is None:
@@ -293,6 +294,25 @@ def sample(
             meads_transition_fn=transition_fn,
             **kwargs,
         )
+
+    if algorithm == "mala":
+        from aehmc_tpu.ops.fused_driver import sample_fused_mala
+
+        if mesh is not None:
+            raise ValueError(
+                "the fused MALA route is single-host for now — pass "
+                "path='pooled' with mesh= for sharded MALA (XLA kernels)"
+            )
+        out = sample_fused_mala(
+            rng_key,
+            potential_fn_t,
+            tuple(data),
+            jnp.asarray(initial_position, jnp.float32),
+            num_samples, num_warmup,
+            potential_and_grad_t=potential_and_grad_t,
+            **kwargs,
+        )
+        return _fused_nuts_result(out)
 
     if algorithm == "chees":
         from aehmc_tpu.ops.chees_fused import make_fused_chees_kernel

@@ -109,6 +109,118 @@ def quantile_snap(
     return reps[bucket_of_sorted][ranks].astype(values.dtype)
 
 
+def _probe_value_and_grad(
+    rows: Sequence[jax.Array],
+    potential_and_grad_t: Callable = None,
+    potential_fn_t: Callable = None,
+    potential_fn: Callable = None,
+) -> Callable:
+    """Build ``vg(q) -> (u (chains,), g (chains, dim))`` in the standard
+    batched layout from whichever potential the caller has (the fused
+    drivers accept three flavors — pre-differentiated transposed,
+    transposed, or standard)."""
+    if potential_and_grad_t is not None:
+
+        def vg(q):
+            u, g_t = potential_and_grad_t(q.T.astype(jnp.float32), *rows)
+            return u.reshape(-1), g_t.T
+
+    elif potential_fn_t is not None:
+
+        def vg(q):
+            u, pull = jax.vjp(
+                lambda qq: potential_fn_t(qq, *rows),
+                q.T.astype(jnp.float32),
+            )
+            (g_t,) = pull(jnp.ones_like(u))
+            return u.reshape(-1), g_t.T
+
+    elif potential_fn is not None:
+
+        def vg(q):
+            u, pull = jax.vjp(
+                lambda qq: potential_fn(qq, *rows), q.astype(jnp.float32)
+            )
+            (g,) = pull(jnp.ones_like(u))
+            return u.reshape(-1), g
+
+    else:
+        raise ValueError("no potential available for the step-size probe")
+    return vg
+
+
+def _ke_batch(p: jax.Array, inverse_mass: jax.Array) -> jax.Array:
+    """0.5 pᵀM⁻¹p per chain, (chains, dim) layout, scalar/diag/dense."""
+    if inverse_mass.ndim == 2:
+        return 0.5 * jnp.sum(p * (p @ inverse_mass), axis=-1)
+    return 0.5 * jnp.sum(inverse_mass * p * p, axis=-1)
+
+
+def find_reasonable_step_size_fused(
+    rng_key: jax.Array,
+    value_and_grad: Callable,
+    positions: jax.Array,
+    inverse_mass_matrix: jax.Array,
+    initial_step_size: float = 1.0,
+    target_accept: float = 0.8,
+    max_iters: int = 16,
+) -> jax.Array:
+    """Stan's init-eps heuristic (Hoffman & Gelman alg. 4) for the fused
+    warmup: probe with ONE chain-batched velocity-Verlet leapfrog step
+    (~1 grad eval per probe instead of a full max-depth NUTS transition),
+    pool the per-chain accept probabilities with the fixed-tree pairwise
+    mean, and double/halve until the pooled accept crosses
+    ``target_accept``.
+
+    The fused warmup otherwise starts blind from the user's
+    ``initial_step_size`` (like the reference, ref
+    window_adaptation.py:17-24) — when that sits far below the tuned
+    value, every early warmup transition runs trajectories deeper by
+    ~log2(eps*/eps0) doublings, and at flagship scale the warmup phase
+    ends up costing more wall-clock than sampling.  The whole search is
+    ~``max_iters`` gradient evals: noise at flagship scale.
+
+    ``value_and_grad(q) -> (u, g)`` in the standard (chains, dim) layout
+    (:func:`_probe_value_and_grad` adapts the transposed contracts).
+    """
+    num_chains, dim = positions.shape
+    q = positions.astype(jnp.float32)
+    u0, g0 = value_and_grad(q)
+
+    from aehmc_tpu.step_size import find_reasonable_step_size
+
+    class _ProbeInfo(tuple):
+        @property
+        def acceptance_probability(self):
+            return self[0]
+
+    def kernel_step(key, state, eps, imm):
+        eps = eps.astype(jnp.float32)
+        p = _draw_momentum(key, imm, num_chains, dim)
+        h0 = u0 + _ke_batch(p, imm)
+        p_half = p - 0.5 * eps * g0
+        drift = p_half @ imm.T if imm.ndim == 2 else imm * p_half
+        q1 = q + eps * drift
+        u1, g1 = value_and_grad(q1)
+        p1 = p_half - 0.5 * eps * g1
+        h1 = u1 + _ke_batch(p1, imm)
+        delta = h0 - h1
+        delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+        accept = jnp.exp(jnp.minimum(delta, 0.0))
+        return state, _ProbeInfo((accept,))
+
+    return find_reasonable_step_size(
+        rng_key,
+        kernel_step,
+        None,
+        inverse_mass_matrix.astype(jnp.float32),
+        initial_step_size=jnp.asarray(initial_step_size, jnp.float32),
+        target_accept=target_accept,
+        max_iters=max_iters,
+        reduce_fn=pairwise_mean,
+    )
+
+
 def _external_randomness(key, inverse_mass, num_chains, dim, max_exp):
     """jax.random replacement for the in-kernel PRNG (interpret mode)."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -226,8 +338,24 @@ def warmup_fused_hooks(
     per_chain_step_size: bool = False,
     per_chain_quantiles: int = 0,
     per_chain_quantile_stat: str = "min",
+    search_initial_step_size: bool = False,
+    probe_value_and_grad: Callable = None,
 ) -> Tuple[Callable, Callable, Callable]:
     """Segmentable fused warmup: ``(init, segment, finish)``.
+
+    ``search_initial_step_size=True`` seats dual averaging at a
+    Stan-style searched value
+    (:func:`find_reasonable_step_size_fused`: single-leapfrog probes,
+    ~1 grad eval each) instead of starting blind at
+    ``initial_step_size`` — when the user's value sits far below the
+    posterior's tuned eps, every early warmup transition otherwise runs
+    trajectories deeper by ~log2(eps*/eps0) doublings, and at flagship
+    scale warmup ends up costing more wall than sampling.  Requires
+    ``probe_value_and_grad`` (``vg(q) -> (u, g)`` in the standard
+    batched layout; :func:`_probe_value_and_grad` builds it from any of
+    the drivers' potential flavors).  The search runs inside ``init``,
+    so segmented (checkpointed) warmup resume stays bitwise — the
+    snapshot carries the already-seeded adaptation state.
 
     ``per_chain_quantiles=K`` (with ``per_chain_step_size=True``) snaps
     the tuned per-chain step-size vector to K rank-quantile bucket
@@ -279,6 +407,12 @@ def warmup_fused_hooks(
     (wcarry, accept_history)``; ``finish(wcarry) -> ((q, u, g),
     (step_size, inverse_mass_matrix))``.
     """
+    if search_initial_step_size and probe_value_and_grad is None:
+        raise ValueError(
+            "search_initial_step_size probes with single leapfrog steps "
+            "— pass probe_value_and_grad (see _probe_value_and_grad)"
+        )
+    scalar_initial_step_size = initial_step_size
     if per_chain_step_size:
         # one DA state per chain: seed the state machine with a
         # (chains,) step-size vector and feed each chain its own
@@ -303,13 +437,25 @@ def warmup_fused_hooks(
 
     def init(rng_key, qug):
         q, u0, g0 = qug
-        adaptation_state = init_adapt(
-            ChainState(
-                position=q,
-                potential_energy=u0[:, 0],
-                potential_energy_grad=g0,
-            )
+        chain_state = ChainState(
+            position=q,
+            potential_energy=u0[:, 0],
+            potential_energy_grad=g0,
         )
+        adaptation_state = init_adapt(chain_state)
+        if search_initial_step_size:
+            rng_key, search_key = jax.random.split(rng_key)
+            found = find_reasonable_step_size_fused(
+                search_key,
+                probe_value_and_grad,
+                q,
+                adaptation_state.inverse_mass_matrix,
+                initial_step_size=scalar_initial_step_size,
+                target_accept=target_acceptance_rate,
+            )
+            if per_chain_step_size:
+                found = jnp.full((num_chains,), found, jnp.float32)
+            adaptation_state = init_adapt(chain_state, found)
         key_seed, key_scan = jax.random.split(rng_key)
         keys = jax.random.split(key_scan, num_steps)
         seeds = derive_draw_seeds(key_seed, num_steps)
@@ -385,6 +531,8 @@ def warmup_fused(
     per_chain_step_size: bool = False,
     per_chain_quantiles: int = 0,
     per_chain_quantile_stat: str = "min",
+    search_initial_step_size: bool = False,
+    probe_value_and_grad: Callable = None,
 ) -> Tuple[Tuple[jax.Array, jax.Array, jax.Array], jax.Array, jax.Array]:
     """Stan window adaptation over a fused NUTS transition.
 
@@ -419,6 +567,8 @@ def warmup_fused(
         per_chain_step_size=per_chain_step_size,
         per_chain_quantiles=per_chain_quantiles,
         per_chain_quantile_stat=per_chain_quantile_stat,
+        search_initial_step_size=search_initial_step_size,
+        probe_value_and_grad=probe_value_and_grad,
     )
     wcarry = init(rng_key, (initial_positions, u0, g0))
     wcarry, _ = segment(wcarry, jnp.arange(num_steps, dtype=jnp.int32))
@@ -450,6 +600,7 @@ def sample_fused_adaptive(
     per_chain_step_size: bool = False,
     per_chain_quantiles: int = 0,
     per_chain_quantile_stat: str = "min",
+    search_initial_step_size: bool = False,
     loop_in_kernel: bool = False,
     interpret: bool = False,
     mesh=None,
@@ -629,6 +780,15 @@ def sample_fused_adaptive(
         (g0,) = pull(jnp.ones_like(u0))
         u0 = u0.reshape(num_chains, 1)
 
+    probe_vg = None
+    if search_initial_step_size:
+        probe_vg = _probe_value_and_grad(
+            rows,
+            potential_and_grad_t=potential_and_grad_t,
+            potential_fn_t=potential_fn_t if small else None,
+            potential_fn=None if small else potential_fn,
+        )
+
     if mesh is not None:
         from aehmc_tpu.parallel.mesh import chain_sharding
 
@@ -704,6 +864,8 @@ def sample_fused_adaptive(
             per_chain_step_size=per_chain_step_size,
             per_chain_quantiles=per_chain_quantiles,
             per_chain_quantile_stat=per_chain_quantile_stat,
+            search_initial_step_size=search_initial_step_size,
+            probe_value_and_grad=probe_vg,
         )
 
         key_seed, key_scan = jax.random.split(sample_key)
@@ -839,6 +1001,8 @@ def sample_fused_adaptive(
         per_chain_step_size=per_chain_step_size,
         per_chain_quantiles=per_chain_quantiles,
         per_chain_quantile_stat=per_chain_quantile_stat,
+        search_initial_step_size=search_initial_step_size,
+        probe_value_and_grad=probe_vg,
     )
 
     def warmup_program(key, positions):
@@ -857,6 +1021,8 @@ def sample_fused_adaptive(
             per_chain_step_size=per_chain_step_size,
             per_chain_quantiles=per_chain_quantiles,
             per_chain_quantile_stat=per_chain_quantile_stat,
+            search_initial_step_size=search_initial_step_size,
+            probe_value_and_grad=probe_vg,
         )
         return (
             (q, u, g, depth0),
@@ -931,3 +1097,205 @@ def sample_fused_adaptive(
         num_warmup=num_warmup,
         _crash_after_warmup_segments=_crash_after_warmup_segments,
     )
+
+
+def sample_fused_mala(
+    rng_key: jax.Array,
+    potential_fn_t: Callable,
+    data: Sequence[jax.Array],
+    initial_positions: jax.Array,
+    num_samples: int = 1000,
+    num_warmup: int = 400,
+    *,
+    potential_and_grad_t: Callable = None,
+    divergence_threshold: float = 1000.0,
+    block_chains: int = None,
+    initial_step_size: float = 0.1,
+    target_acceptance_rate: float = 0.8,
+    search_initial_step_size: bool = False,
+    per_chain_step_size: bool = False,
+    per_chain_quantiles: int = 0,
+    per_chain_quantile_stat: str = "min",
+    collect_positions: bool = True,
+    collect_dtype=None,
+    use_internal_prng: bool = True,
+    segment_draws: int = 32,
+    interpret: bool = False,
+):
+    """Fused MALA: self-tuning warmup + loop-in-kernel sampling through
+    the GHMC megakernel at ``alpha = 0``.
+
+    One velocity-Verlet leapfrog step from a fully refreshed momentum is
+    EXACTLY the MALA proposal with preconditioner ``M^{-1}``: the
+    position marginal is ``q' = q - eps^2/2 M^{-1} grad U + eps
+    sqrt(M^{-1}) z``, and the one-step HMC energy ratio ``exp(H0 - H1)``
+    equals MALA's asymmetric Metropolis-Hastings ratio identically
+    (gated numerically against :mod:`aehmc_tpu.mala` in
+    tests/test_ghmc_fused.py).  So the fused MALA path is
+    :func:`aehmc_tpu.ops.ghmc_fused.make_fused_ghmc_transition` with
+    ``alpha=0, num_integration_steps=1`` — full VMEM residency and
+    in-kernel PRNG — plus the standard fused warmup (Stan windows tune
+    ``eps`` by dual averaging and the diagonal preconditioner by
+    Welford; dense metrics are rejected, matching
+    :func:`aehmc_tpu.mala.new_kernel`).
+
+    Sampling runs in multi-draw in-kernel segments
+    (:func:`aehmc_tpu.ops.ghmc_fused.fused_ghmc_segment`,
+    ``segment_draws`` per dispatch — per-draw outputs live in the VMEM
+    output block, which bounds the segment length), scanned in XLA to
+    ``num_samples``; per-draw seeds are ``base + t*DRAW_SEED_STRIDE``
+    with ABSOLUTE draw indices, so the segmentation is invisible to the
+    streams.  The default ``target_acceptance_rate`` keeps the library
+    convention (0.8); MALA's asymptotically optimal rate is 0.574 —
+    pass it explicitly for pure-MALA workloads.
+
+    Returns ``(final_positions, positions, stats, eps, imm)`` like
+    :func:`sample_fused_adaptive` (stats columns ``[energy, accept, 0,
+    steps, diverging, 0, 0, 0]``).
+    """
+    from aehmc_tpu.ops.ghmc_fused import (
+        fused_ghmc_segment,
+        make_fused_ghmc_transition,
+    )
+
+    num_chains, dim = initial_positions.shape
+    if block_chains is None:
+        block_chains = 1024
+    if per_chain_quantiles and not per_chain_step_size:
+        raise ValueError(
+            "per_chain_quantiles snaps the PER-CHAIN tuned step sizes — "
+            "set per_chain_step_size=True as well"
+        )
+
+    rows = [_as_data_row(d) for d in data]
+    if potential_and_grad_t is not None:
+        u0, g0_t = potential_and_grad_t(
+            initial_positions.T.astype(jnp.float32), *rows
+        )
+        u0 = u0.reshape(-1)
+    else:
+        u0, pull = jax.vjp(
+            lambda qq: potential_fn_t(qq, *rows),
+            initial_positions.T.astype(jnp.float32),
+        )
+        (g0_t,) = pull(jnp.ones_like(u0))
+    u0 = u0.reshape(num_chains, 1)
+    g0 = g0_t.T
+
+    ghmc_tr = make_fused_ghmc_transition(
+        potential_fn_t, tuple(data),
+        divergence_threshold=divergence_threshold,
+        block_chains=block_chains,
+        num_integration_steps=1,
+        interpret=interpret,
+        potential_and_grad_t=potential_and_grad_t,
+    )
+    zero_p = jnp.zeros((num_chains, dim), jnp.float32)
+
+    def _diag_im(imm):
+        imm = jnp.asarray(imm, jnp.float32)
+        if imm.ndim == 2:
+            raise ValueError(
+                "MALA supports scalar or diagonal preconditioners only "
+                "(aehmc_tpu/mala.py contract)"
+            )
+        return jnp.broadcast_to(imm.reshape(-1), (dim,))
+
+    def transition(q, u, g, p, dirs, ub, ul, imm, eps, seed=None):
+        # adapt the GHMC megakernel (alpha=0 = MALA) to the NUTS-like
+        # warmup transition contract; the persistent momentum is fully
+        # refreshed every step, so a zero placeholder carries no state
+        im = _diag_im(imm)
+        if seed is not None:
+            qn, un, gn, _pn, stats = ghmc_tr(
+                q, u.reshape(-1), g, zero_p, eps, 0.0, im, seed=seed
+            )
+        else:
+            # warmup's external randomness: p ~ N(0, M) is exactly the
+            # refresh noise; the first uniform row is the MH draw
+            qn, un, gn, _pn, stats = ghmc_tr(
+                q, u.reshape(-1), g, zero_p, eps, 0.0, im,
+                noise=p, u_accept=ub[:, 0],
+            )
+        return qn, un, gn, stats
+
+    probe_vg = None
+    if search_initial_step_size:
+        probe_vg = _probe_value_and_grad(
+            rows,
+            potential_and_grad_t=potential_and_grad_t,
+            potential_fn_t=potential_fn_t,
+        )
+
+    warmup_key, sample_key = jax.random.split(rng_key)
+    (q, u, g), eps, imm = warmup_fused(
+        warmup_key, transition,
+        initial_positions.astype(jnp.float32), u0, g0,
+        num_warmup,
+        max_num_expansions=1,  # externals sized for one uniform row
+        is_mass_matrix_full=False,
+        initial_step_size=initial_step_size,
+        target_acceptance_rate=target_acceptance_rate,
+        use_internal_prng=use_internal_prng,
+        per_chain_step_size=per_chain_step_size,
+        per_chain_quantiles=per_chain_quantiles,
+        per_chain_quantile_stat=per_chain_quantile_stat,
+        search_initial_step_size=search_initial_step_size,
+        probe_value_and_grad=probe_vg,
+    )
+    im = _diag_im(imm)
+
+    segment = fused_ghmc_segment(
+        potential_fn_t, tuple(data),
+        divergence_threshold=divergence_threshold,
+        block_chains=block_chains,
+        num_integration_steps=1,
+        interpret=interpret,
+        potential_and_grad_t=potential_and_grad_t,
+    )
+
+    num_segments = -(-num_samples // segment_draws)
+    total = num_segments * segment_draws
+    key_seed, key_scan = jax.random.split(sample_key)
+    seeds = derive_draw_seeds(key_seed, total)
+    seg_keys = jax.random.split(key_scan, num_segments)
+
+    def one_segment(carry, inputs):
+        qc, uc, gc, pc = carry
+        seg_key, seg_seed = inputs
+        if use_internal_prng:
+            pos, stats, qn, un, gn, pn = segment(
+                qc, uc.reshape(-1), gc, pc, eps, 0.0, im, segment_draws,
+                seed=seg_seed, collect_positions=collect_positions,
+            )
+        else:
+            knoise, kacc = jax.random.split(seg_key)
+            noise = jax.vmap(
+                lambda k: _draw_momentum(k, im, num_chains, dim)
+            )(jax.random.split(knoise, segment_draws))
+            u_acc = jax.random.uniform(
+                kacc, (segment_draws, num_chains), jnp.float32
+            )
+            pos, stats, qn, un, gn, pn = segment(
+                qc, uc.reshape(-1), gc, pc, eps, 0.0, im, segment_draws,
+                noise=noise, u_accept=u_acc,
+                collect_positions=collect_positions,
+            )
+        if pos is not None and collect_dtype is not None:
+            pos = pos.astype(collect_dtype)
+        return (qn, un, gn, pn), (pos, stats)
+
+    (qf, _, _, _), (positions, stats) = jax.lax.scan(
+        one_segment,
+        (q, u, g, zero_p),
+        (
+            seg_keys,
+            seeds[::segment_draws],
+        ),
+    )
+    stats = stats.reshape(total, num_chains, 8)[:num_samples]
+    if collect_positions:
+        positions = positions.reshape(total, num_chains, dim)[:num_samples]
+    else:
+        positions = None
+    return qf, positions, stats, eps, imm

@@ -86,6 +86,7 @@ GATE_MAP = {
     "chees_fused_10k": "test_fused_chees_internal_prng_moments",
     "meads_10k_chains_100d_fused": "test_fused_meads_transition_moments",
     "meads_10k_chains_100d_fused_seg": "test_fused_meads_segment_moments",
+    "mala_10k_chains_100d_fused": "test_fused_mala_moments_and_determinism",
     "sustained_10k": "test_sustained_800_draw_path",
     "sharded_1dev": "test_one_device_mesh_sharded_bitwise",
     "depth_sorted_resume": "test_depth_sorted_checkpoint_resume_bitwise",
@@ -1729,6 +1730,136 @@ def tpu_gates():
     )
 
 
+
+def _mala_setup():
+    from aehmc_tpu.models import logistic_regression, logistic_regression_pg_t
+
+    dim, num_chains = 100, 10_240
+    logprob_fn, q0 = logistic_regression(dim=dim, num_points=1000)
+    keys = jax.random.split(jax.random.PRNGKey(0), num_chains)
+    qs = jnp.tile(q0, (num_chains, 1)) + 0.1 * jax.vmap(
+        lambda k: jax.random.normal(k, (dim,), jnp.float32)
+    )(keys)
+    potential_t, pg, data_t, _ = logistic_regression_pg_t(
+        dim=dim, num_points=1000, matmul_dtype=jnp.float32
+    )
+    return dim, num_chains, logprob_fn, qs, potential_t, pg, data_t
+
+
+def mala_10k():
+    """MALA on the flagship posterior through the XLA path: pooled
+    warmup (Stan windows over the MALA kernel) + vmapped scan sampling.
+    The comparator for mala_10k_fused under one accounting: same
+    posterior/chains/warmup/draws, per-phase walls, compile excluded,
+    median-of-5 sampling."""
+    from aehmc_tpu import hmc, mala
+    from aehmc_tpu.parallel.pooled import pooled_warmup
+    from aehmc_tpu.sampling import sample_loop
+
+    dim, num_chains, logprob_fn, qs, *_ = _mala_setup()
+    num_draws, W = 600, 150
+    kernel = mala.new_kernel(logprob_fn)
+    states = jax.vmap(lambda q: hmc.new_state(q, logprob_fn))(qs)
+
+    warm = jax.jit(
+        lambda k: pooled_warmup(
+            k, kernel, states, num_steps=W, initial_step_size=0.1
+        )
+    )
+    out = warm(jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+    t_warm, (warm_states, (eps, imm), _) = _median_time(
+        lambda r: warm(jax.random.PRNGKey(1 + r)), runs=3
+    )
+
+    def run(key):
+        ks = jax.random.split(key, num_chains)
+
+        def chain(k, s):
+            bound = lambda kk, ss: kernel(kk, ss, eps, imm)  # noqa: E731
+            _, pos, infos = sample_loop(k, bound, s, num_draws)
+            return pos, infos.acceptance_probability
+
+        return jax.vmap(chain)(ks, warm_states)
+
+    jitted = jax.jit(run)
+    out = jitted(jax.random.PRNGKey(2))
+    jax.block_until_ready(out)
+    dt, (pos, accept) = _median_time(lambda r: jitted(jax.random.PRNGKey(3 + r)))
+    evals = num_chains * num_draws  # one gradient per MALA draw
+    ess_sec, min_ess, capped = _ess_per_sec(jnp.swapaxes(pos, 0, 1), dt)
+    log(
+        f"mala 10k XLA: {evals:,} evals in {dt:.2f}s "
+        f"({evals / dt / 1e6:.1f}M evals/s), eps {float(eps):.4f}, "
+        f"accept {float(jnp.mean(accept)):.3f}, min ESS {min_ess:.0f}"
+    )
+    _emit(
+        "mala_10k_chains_100d",
+        evals / dt,
+        "grad_evals/s",
+        {
+            "chains": num_chains, "dim": dim, "draws": num_draws,
+            "warmup_steps": W, "warmup_wall_s": round(t_warm, 3),
+            "sampling_wall_s": round(dt, 3),
+            "ess_per_sec": round(ess_sec), "min_ess": round(min_ess),
+            "ess_capped": capped,
+            "accept": round(float(jnp.mean(accept)), 3),
+            "runs": TIMED_RUNS, "stat": "median",
+        },
+    )
+
+
+def mala_10k_fused():
+    """MALA through the fused GHMC megakernel at alpha=0
+    (ops/fused_driver.sample_fused_mala): one-leapfrog GHMC with full
+    refresh IS MALA (identical proposal and MH ratio — gated in
+    tests/test_ghmc_fused.py), so MALA inherits the whole fused stack:
+    VMEM-resident state, in-kernel PRNG, multi-draw segment kernels.
+    Same accounting as mala_10k."""
+    from aehmc_tpu.ops.fused_driver import sample_fused_mala
+
+    dim, num_chains, _, qs, potential_t, pg, data_t = _mala_setup()
+    num_draws, W = 600, 150
+
+    run = jax.jit(
+        lambda k: sample_fused_mala(
+            k, potential_t, list(data_t), qs,
+            num_samples=num_draws, num_warmup=W,
+            potential_and_grad_t=pg, block_chains=1024,
+            segment_draws=32, initial_step_size=0.1,
+        )
+    )
+    out = run(jax.random.PRNGKey(11))
+    jax.block_until_ready(out)
+    dt, (qf, pos, stats, eps, imm) = _median_time(
+        lambda r: run(jax.random.PRNGKey(11 + r))
+    )
+    stats = np.asarray(stats)
+    evals = num_chains * num_draws
+    accept = float(stats[:, :, 1].mean())
+    ess_sec, min_ess, capped = _ess_per_sec(np.asarray(pos, np.float32), dt)
+    log(
+        f"mala 10k FUSED (warmup+sampling): {evals:,} sampling evals, "
+        f"total wall {dt:.2f}s ({evals / dt / 1e6:.1f}M evals/s incl. "
+        f"warmup), eps {float(jnp.mean(eps)):.4f}, accept {accept:.3f}, "
+        f"min ESS {min_ess:.0f}"
+    )
+    _emit(
+        "mala_10k_chains_100d_fused",
+        evals / dt,
+        "grad_evals/s",
+        {
+            "chains": num_chains, "dim": dim, "draws": num_draws,
+            "warmup_steps": W,
+            "wall_s": round(dt, 3),
+            "note": "wall includes warmup (one jitted program)",
+            "ess_per_sec": round(ess_sec), "min_ess": round(min_ess),
+            "ess_capped": capped, "accept": round(accept, 3),
+            "runs": TIMED_RUNS, "stat": "median",
+        },
+    )
+
+
 def chees_fused_10k():
     """The fused ChEES megakernel (ops/chees_fused.py) on the config-5
     posterior, self-tuning end-to-end: ChEES is the TPU-regular sampler
@@ -2053,6 +2184,8 @@ CONFIGS = {
     "funnel_fused_riffled": funnel_fused_riffled,
     "funnel_fused_per_chain_eps": funnel_fused_per_chain_eps,
     "funnel_fused_quantile_eps": funnel_fused_quantile_eps,
+    "mala_10k": mala_10k,
+    "mala_10k_fused": mala_10k_fused,
     "chees_fused_10k": chees_fused_10k,
     "sustained_10k": sustained_10k,
     "flagship_end_to_end": flagship_end_to_end,

@@ -193,3 +193,47 @@ def test_fused_meads_routes_through_transition_fn():
     assert np.isfinite(np.asarray(res.positions)).all()
     acc = np.asarray(res.diagnostics.acceptance_probability)
     assert acc.shape == (10, chains) and (acc >= 0).all()
+
+
+def test_fused_mala_route():
+    """algorithm='mala', path='fused' runs the GHMC megakernel at
+    alpha=0 (ops/fused_driver.sample_fused_mala) and returns the
+    standard SampleResult contract."""
+    var = np.asarray([0.5, 2.0, 1.0, 4.0], np.float32)
+    chains, dim = 16, var.size
+    q0 = jax.random.normal(
+        jax.random.PRNGKey(0), (chains, dim), jnp.float32
+    ) * jnp.sqrt(jnp.asarray(var))
+
+    def potential_t(q_t, var_col):
+        return 0.5 * jnp.sum(q_t * q_t / var_col, axis=0)
+
+    res = aehmc_tpu.sample(
+        jax.random.PRNGKey(3), None, q0,
+        num_samples=40, num_warmup=40,
+        algorithm="mala", path="fused",
+        data=[var.reshape(-1, 1)], potential_fn_t=potential_t,
+        block_chains=chains, use_internal_prng=False, interpret=True,
+        segment_draws=8,
+    )
+    assert res.positions.shape == (40, chains, dim)
+    assert res.final_state.shape == (chains, dim)
+    assert float(jnp.mean(res.diagnostics.acceptance_probability)) > 0.3
+    assert res.step_size.shape == ()
+    assert res.inverse_mass_matrix.shape == (dim,)
+    # MALA runs exactly one gradient per draw
+    assert int(res.diagnostics.num_integration_steps[0, 0]) == 1
+
+
+def test_fused_mala_route_rejects_mesh():
+    q0 = jnp.zeros((4, 2), jnp.float32)
+
+    class FakeMesh:
+        pass
+
+    with pytest.raises(ValueError, match="single-host"):
+        aehmc_tpu.sample(
+            jax.random.PRNGKey(0), None, q0, 4, 4,
+            algorithm="mala", path="fused", mesh=FakeMesh(),
+            potential_fn_t=lambda q_t: 0.5 * jnp.sum(q_t * q_t, axis=0),
+        )

@@ -494,3 +494,84 @@ def test_sample_fused_small_loop_in_kernel_validation():
             block_chains=chains, sort_by_depth=True,
             loop_in_kernel=True,
         )
+
+
+def test_find_reasonable_step_size_fused_scales():
+    """The Stan-style init search (single-leapfrog probes) lands eps on
+    the posterior's scale — isotropic N(0, s^2 I) needs eps ~ s — and is
+    deterministic per key."""
+    from aehmc_tpu.ops.fused_driver import (
+        _probe_value_and_grad,
+        find_reasonable_step_size_fused,
+    )
+
+    def pot(q, s):
+        return 0.5 * jnp.sum((q / s) ** 2, axis=-1)
+
+    found = {}
+    for scale in (0.01, 1.0, 100.0):
+        rows = [jnp.asarray(scale, jnp.float32)]
+        vg = _probe_value_and_grad(rows, potential_fn=pot)
+        q = (
+            jax.random.normal(jax.random.PRNGKey(0), (64, 10), jnp.float32)
+            * scale
+        )
+        eps = find_reasonable_step_size_fused(
+            jax.random.PRNGKey(1), vg, q, jnp.ones((10,), jnp.float32),
+            initial_step_size=0.1,
+        )
+        again = find_reasonable_step_size_fused(
+            jax.random.PRNGKey(1), vg, q, jnp.ones((10,), jnp.float32),
+            initial_step_size=0.1,
+        )
+        assert float(eps) == float(again)  # deterministic per key
+        found[scale] = float(eps)
+    # lands within a doubling-search factor of the posterior scale
+    for scale, eps in found.items():
+        assert scale / 4 < eps < scale * 4, (scale, eps)
+
+
+@pytest.mark.parametrize("layout", ["standard", "small"])
+def test_adaptive_driver_search_initial_step_size(layout):
+    """search_initial_step_size seats dual averaging at the probed value
+    and the driver still tunes and samples (both kernel layouts; the
+    probe differentiates whichever potential flavor the caller passed)."""
+    chains, dim = 8, VAR.size
+    q0 = jax.random.normal(
+        jax.random.PRNGKey(0), (chains, dim), jnp.float32
+    ) * jnp.sqrt(jnp.asarray(VAR))
+    kwargs = dict(
+        num_samples=20,
+        num_warmup=40,
+        max_num_expansions=4,
+        block_chains=chains,
+        use_internal_prng=False,
+        interpret=True,
+        search_initial_step_size=True,
+        initial_step_size=1e-3,  # deliberately far below tuned
+    )
+    if layout == "small":
+        qf, pos, stats, eps, imm = sample_fused_adaptive(
+            jax.random.PRNGKey(1), None, [VAR.reshape(-1, 1)], q0,
+            potential_fn_t=_potential_t, **kwargs,
+        )
+    else:
+        qf, pos, stats, eps, imm = sample_fused_adaptive(
+            jax.random.PRNGKey(1), _potential, [VAR], q0, **kwargs,
+        )
+    stats = np.asarray(stats)
+    # despite the 1e-3 blind init, the searched seed puts adaptation on
+    # the right scale within the short warmup
+    assert 0.05 < float(eps) < 3.0
+    assert stats[:, :, 1].mean() > 0.4
+    assert np.isfinite(np.asarray(pos)).all()
+
+
+def test_search_initial_step_size_requires_probe():
+    from aehmc_tpu.ops.fused_driver import warmup_fused_hooks
+
+    with pytest.raises(ValueError, match="probe_value_and_grad"):
+        warmup_fused_hooks(
+            lambda *a, **k: None, 8, 4, 40,
+            max_num_expansions=4, search_initial_step_size=True,
+        )

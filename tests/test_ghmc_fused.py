@@ -429,3 +429,97 @@ def test_fused_meads_segment_drives_sampler():
     np.testing.assert_array_equal(
         np.asarray(positions), np.asarray(positions2)
     )
+
+
+# ---------------------------------------------------------------------------
+# fused MALA (= GHMC at alpha=0, one leapfrog)
+
+
+def test_one_step_ghmc_accept_equals_mala_mh_ratio():
+    """One-leapfrog GHMC with full refresh IS MALA: with matched
+    randomness (noise_ghmc = sqrt(M) z for MALA's z), the energy-based
+    accept probability exp(min(0, H0-H1)) equals MALA's asymmetric
+    Metropolis-Hastings ratio chain for chain — the identity the fused
+    MALA route (ops/fused_driver.sample_fused_mala) rests on."""
+    from aehmc_tpu import mala
+
+    rng = np.random.default_rng(3)
+    chains, dim = 16, 5
+    var = rng.uniform(0.3, 3.0, size=dim).astype(np.float32)
+    imm = rng.uniform(0.5, 2.0, size=dim).astype(np.float32)
+    q = rng.normal(size=(chains, dim)).astype(np.float32) * np.sqrt(var)
+    eps = 0.7
+
+    def logprob_fn(qq):
+        return -0.5 * jnp.sum(qq * qq / var)
+
+    kernel = mala.new_kernel(logprob_fn)
+    keys = jax.random.split(jax.random.PRNGKey(11), chains)
+
+    def one(k, qi):
+        state = mala.new_state(qi, logprob_fn)
+        _, info = kernel(k, state, jnp.float32(eps), jnp.asarray(imm))
+        return info.acceptance_probability
+
+    mala_accept = np.asarray(jax.vmap(one)(keys, jnp.asarray(q)))
+
+    # replicate MALA's internal noise draw: noise_key = split(k)[0],
+    # z ~ N(0, I); the GHMC momentum noise is sqrt(M) z = z / sqrt(imm)
+    def z_of(k):
+        noise_key, _ = jax.random.split(k)
+        return jax.random.normal(noise_key, (dim,), jnp.float32)
+
+    z = np.asarray(jax.vmap(z_of)(keys))
+    noise = z / np.sqrt(imm)
+
+    transition = make_fused_ghmc_transition(
+        _potential_t, [var.reshape(-1, 1)],
+        block_chains=chains, interpret=True,
+    )
+    u0 = (0.5 * np.sum(q**2 / var, axis=-1)).astype(np.float32)
+    g0 = (q / var).astype(np.float32)
+    _, _, _, _, stats = transition(
+        jnp.asarray(q), jnp.asarray(u0), jnp.asarray(g0),
+        jnp.zeros_like(jnp.asarray(q)),
+        eps, 0.0, jnp.asarray(imm),
+        noise=jnp.asarray(noise),
+        u_accept=jnp.full((chains,), 0.5, jnp.float32),
+    )
+    ghmc_accept = np.asarray(stats)[:, 1]
+    np.testing.assert_allclose(ghmc_accept, mala_accept, rtol=2e-4, atol=2e-5)
+
+
+def test_sample_fused_mala_moments_and_determinism():
+    """The fused MALA driver (warmup + in-kernel segments, interpret
+    mode) recovers a diagonal Gaussian's moments and is bitwise
+    deterministic per key; segmentation is invisible (stats shapes
+    trimmed to num_samples)."""
+    from aehmc_tpu.ops.fused_driver import sample_fused_mala
+
+    var = np.asarray([0.5, 2.0, 1.0, 4.0], np.float32)
+    chains, dim = 64, var.size
+    q0 = jax.random.normal(
+        jax.random.PRNGKey(0), (chains, dim), jnp.float32
+    ) * jnp.sqrt(jnp.asarray(var))
+
+    def run(key):
+        return sample_fused_mala(
+            key, _potential_t, [var.reshape(-1, 1)], q0,
+            num_samples=300, num_warmup=150,
+            block_chains=chains, use_internal_prng=False,
+            interpret=True, segment_draws=32,
+        )
+
+    qf, pos, stats, eps, imm = run(jax.random.PRNGKey(5))
+    assert pos.shape == (300, chains, dim)
+    assert stats.shape == (300, chains, 8)
+    assert 0.05 < float(jnp.mean(eps)) < 3.0
+    accept = np.asarray(stats)[:, :, 1]
+    assert 0.3 < accept.mean() < 1.0
+    draws = np.asarray(pos)[100:].reshape(-1, dim)
+    np.testing.assert_allclose(draws.mean(0), 0.0, atol=0.35)
+    np.testing.assert_allclose(draws.var(0), var, rtol=0.35)
+    # bitwise determinism per key
+    qf2, pos2, *_ = run(jax.random.PRNGKey(5))
+    assert np.array_equal(np.asarray(qf), np.asarray(qf2))
+    assert np.array_equal(np.asarray(pos), np.asarray(pos2))

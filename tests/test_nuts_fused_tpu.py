@@ -691,3 +691,67 @@ def test_loop_in_kernel_mesh_bitwise():
     for a, b, c in zip(plain, meshed, scan):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+@requires_tpu
+def test_fused_mala_moments_and_determinism():
+    """The fused MALA driver (GHMC megakernel at alpha=0, in-kernel
+    PRNG, multi-draw segments) self-tunes on the diagonal Gaussian,
+    recovers its moments, and is bitwise deterministic per key."""
+    from aehmc_tpu.ops.fused_driver import sample_fused_mala
+
+    def potential_t(q_t, var_col):
+        return 0.5 * jnp.sum(q_t * q_t / var_col, axis=0)
+
+    q0 = jax.random.normal(
+        jax.random.PRNGKey(0), (CHAINS, DIM), jnp.float32
+    ) * jnp.sqrt(jnp.asarray(VAR))
+
+    run = jax.jit(
+        lambda k: sample_fused_mala(
+            k, potential_t, [jnp.asarray(VAR).reshape(-1, 1)], q0,
+            num_samples=1200, num_warmup=200,
+            block_chains=CHAINS, segment_draws=32,
+        )
+    )
+    qf, positions, stats, eps, imm = run(jax.random.PRNGKey(7))
+    stats = np.asarray(stats)
+    assert stats[:, :, 1].mean() > 0.5  # healthy acceptance
+    assert stats[:, :, 3].max() == 1.0  # exactly one gradient per draw
+    assert 0.05 < float(eps) < 3.0
+    draws = np.asarray(positions)[400:].reshape(-1, DIM)
+    assert np.all(np.abs(draws.mean(axis=0)) < 0.2)
+    np.testing.assert_allclose(draws.var(axis=0), VAR, rtol=0.25)
+    qf2, positions2, *_ = run(jax.random.PRNGKey(7))
+    assert np.array_equal(np.asarray(qf), np.asarray(qf2))
+    assert np.array_equal(np.asarray(positions), np.asarray(positions2))
+
+
+@requires_tpu
+def test_fused_mala_search_matches_blind_tuning():
+    """search_initial_step_size on the fused warmup lands the same tuned
+    eps neighborhood as the blind run (the seed only moves the DA
+    start), on-chip with the in-kernel PRNG path."""
+    from aehmc_tpu.ops.fused_driver import sample_fused_mala
+
+    def potential_t(q_t, var_col):
+        return 0.5 * jnp.sum(q_t * q_t / var_col, axis=0)
+
+    q0 = jax.random.normal(
+        jax.random.PRNGKey(0), (CHAINS, DIM), jnp.float32
+    ) * jnp.sqrt(jnp.asarray(VAR))
+
+    def run(search):
+        return jax.jit(
+            lambda k: sample_fused_mala(
+                k, potential_t, [jnp.asarray(VAR).reshape(-1, 1)], q0,
+                num_samples=256, num_warmup=150,
+                block_chains=CHAINS, segment_draws=32,
+                search_initial_step_size=search,
+                initial_step_size=1e-3,
+            )
+        )(jax.random.PRNGKey(9))
+
+    *_, eps_blind, _ = run(False)
+    *_, eps_searched, _ = run(True)
+    assert 0.3 < float(eps_searched) / float(eps_blind) < 3.0
