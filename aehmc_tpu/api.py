@@ -277,6 +277,29 @@ def sample(
             kernel_kwargs["divergence_threshold"] = kwargs[
                 "divergence_threshold"
             ]
+        kwargs.setdefault("meads_recompute_every", 8)
+        # Single-host, non-checkpointed runs take the MULTI-DRAW segment
+        # megakernel (one dispatch per recompute_every-draw segment per
+        # chain block, state resident in VMEM between draws — measured
+        # 47.4M vs 33.7M evals/s for the per-draw transition at the
+        # 10k-chain flagship).  Sharded or checkpointed runs keep the
+        # per-draw fused transition (the segment kernel has no shard_map
+        # adapter and by construction cannot checkpoint mid-segment).
+        if mesh is None and not kwargs.get("checkpoint_every"):
+            from aehmc_tpu.ops.ghmc_fused import make_fused_meads_segment
+
+            segment_fn = make_fused_meads_segment(
+                potential_fn_t, tuple(data),
+                potential_and_grad_t=potential_and_grad_t,
+                **kernel_kwargs,
+            )
+            return sample_sharded(
+                rng_key, logprob_fn, initial_position,
+                num_samples, num_warmup,
+                algorithm="meads", mesh=mesh,
+                meads_segment_fn=segment_fn,
+                **kwargs,
+            )
         transition_fn = make_fused_meads_transition(
             potential_fn_t, tuple(data),
             potential_and_grad_t=potential_and_grad_t,
@@ -286,7 +309,6 @@ def sample(
             ),
             **kernel_kwargs,
         )
-        kwargs.setdefault("meads_recompute_every", 8)
         return sample_sharded(
             rng_key, logprob_fn, initial_position,
             num_samples, num_warmup,
