@@ -44,7 +44,7 @@ PATHS = ("auto", "xla", "pooled", "fused")
 # algorithms with a fused megakernel transition (ops/nuts_fused_small.py,
 # ops/chees_fused.py, ops/ghmc_fused.py); the rest raise a pointed error
 # on path="fused"
-_FUSED_ALGORITHMS = ("nuts", "chees", "meads", "mala")
+_FUSED_ALGORITHMS = ("nuts", "chees", "meads", "mala", "ghmc")
 
 
 def _resolve_path(path, initial_position, potential_fn_t,
@@ -201,12 +201,13 @@ def sample(
     )
     if logprob_fn is None and not (
         route == "fused"
-        and algorithm in ("nuts", "mala")
+        and algorithm in ("nuts", "mala", "ghmc")
         and (potential_fn_t is not None or potential_and_grad_t is not None)
     ):
         raise ValueError(
-            "logprob_fn may be None only on the fused NUTS/MALA routes "
-            "with an explicit potential_fn_t/potential_and_grad_t binding"
+            "logprob_fn may be None only on the fused NUTS/MALA/GHMC "
+            "routes with an explicit potential_fn_t/potential_and_grad_t "
+            "binding"
         )
 
     if route == "xla":
@@ -249,11 +250,9 @@ def sample(
     if algorithm not in _FUSED_ALGORITHMS:
         raise ValueError(
             f"no fused megakernel for algorithm={algorithm!r} (fused paths: "
-            f"{_FUSED_ALGORITHMS}); use path='pooled' — HMC/GHMC run the "
-            "XLA kernels (standalone GHMC keeps the reference's "
-            "user-supplied-hyperparameter contract; the fused GHMC kernel "
-            "runs under MEADS, which estimates them, and under MALA at "
-            "alpha=0)"
+            f"{_FUSED_ALGORITHMS}); use path='pooled' — plain HMC runs the "
+            "XLA kernels (its fused analog with adaptive trajectory "
+            "lengths is algorithm='chees')"
         )
     if potential_fn_t is None:
         if potential_and_grad_t is None:
@@ -317,20 +316,31 @@ def sample(
             **kwargs,
         )
 
-    if algorithm == "mala":
-        from aehmc_tpu.ops.fused_driver import sample_fused_mala
+    if algorithm in ("mala", "ghmc"):
+        from aehmc_tpu.ops.fused_driver import sample_fused_ghmc
 
         if mesh is not None:
             raise ValueError(
-                "the fused MALA route is single-host for now — pass "
-                "path='pooled' with mesh= for sharded MALA (XLA kernels)"
+                f"the fused {algorithm.upper()} route is single-host for "
+                "now — pass path='pooled' with mesh= for the sharded XLA "
+                "kernels"
             )
-        out = sample_fused_mala(
+        if algorithm == "mala":
+            alpha = 0.0
+            if "ghmc_alpha" in kwargs:
+                raise TypeError(
+                    "ghmc_alpha= with algorithm='mala' (MALA IS alpha=0); "
+                    "use algorithm='ghmc' for persistent momentum"
+                )
+        else:
+            alpha = kwargs.pop("ghmc_alpha", 0.9)
+        out = sample_fused_ghmc(
             rng_key,
             potential_fn_t,
             tuple(data),
             jnp.asarray(initial_position, jnp.float32),
             num_samples, num_warmup,
+            alpha=alpha,
             potential_and_grad_t=potential_and_grad_t,
             **kwargs,
         )

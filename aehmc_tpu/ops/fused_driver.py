@@ -1099,7 +1099,7 @@ def sample_fused_adaptive(
     )
 
 
-def sample_fused_mala(
+def sample_fused_ghmc(
     rng_key: jax.Array,
     potential_fn_t: Callable,
     data: Sequence[jax.Array],
@@ -1107,6 +1107,7 @@ def sample_fused_mala(
     num_samples: int = 1000,
     num_warmup: int = 400,
     *,
+    alpha: float = 0.9,
     potential_and_grad_t: Callable = None,
     divergence_threshold: float = 1000.0,
     block_chains: int = None,
@@ -1122,32 +1123,33 @@ def sample_fused_mala(
     segment_draws: int = 32,
     interpret: bool = False,
 ):
-    """Fused MALA: self-tuning warmup + loop-in-kernel sampling through
-    the GHMC megakernel at ``alpha = 0``.
+    """Fused GHMC: self-tuning warmup + loop-in-kernel sampling through
+    the GHMC megakernel (persistent momentum, partial refresh
+    ``p <- alpha p + sqrt(1 - alpha^2) xi``, flip-on-reject — the
+    Horowitz kernel, ref-parity gated per transition in
+    tests/test_ghmc_fused.py::test_fused_ghmc_matches_reference).
 
-    One velocity-Verlet leapfrog step from a fully refreshed momentum is
-    EXACTLY the MALA proposal with preconditioner ``M^{-1}``: the
-    position marginal is ``q' = q - eps^2/2 M^{-1} grad U + eps
-    sqrt(M^{-1}) z``, and the one-step HMC energy ratio ``exp(H0 - H1)``
-    equals MALA's asymmetric Metropolis-Hastings ratio identically
-    (gated numerically against :mod:`aehmc_tpu.mala` in
-    tests/test_ghmc_fused.py).  So the fused MALA path is
-    :func:`aehmc_tpu.ops.ghmc_fused.make_fused_ghmc_transition` with
-    ``alpha=0, num_integration_steps=1`` — full VMEM residency and
-    in-kernel PRNG — plus the standard fused warmup (Stan windows tune
-    ``eps`` by dual averaging and the diagonal preconditioner by
-    Welford; dense metrics are rejected, matching
-    :func:`aehmc_tpu.mala.new_kernel`).
+    ``alpha`` is the momentum-persistence coefficient (static; matches
+    :func:`aehmc_tpu.ghmc.new_kernel`'s runtime argument and
+    :func:`aehmc_tpu.sampling.sample`'s ``ghmc_alpha=0.9`` default).
+    ``alpha = 0`` refreshes fully — that is exactly MALA (see
+    :func:`sample_fused_mala`).
+
+    Warmup tunes ``eps`` (dual averaging) and the diagonal
+    preconditioner (Welford) under the FULL-REFRESH (``alpha = 0``)
+    transition: at stationarity the momentum marginal is N(0, M)
+    regardless of alpha, so the one-leapfrog energy-error distribution —
+    the thing dual averaging targets — is alpha-invariant, and the tuned
+    eps transfers.  Sampling then carries the momentum: it is drawn
+    fresh from N(0, M) once (tuned metric) and persists across draws and
+    in-kernel segments (the segment kernel threads ``p`` through VMEM
+    between draws and returns it in the carry).
 
     Sampling runs in multi-draw in-kernel segments
     (:func:`aehmc_tpu.ops.ghmc_fused.fused_ghmc_segment`,
-    ``segment_draws`` per dispatch — per-draw outputs live in the VMEM
-    output block, which bounds the segment length), scanned in XLA to
-    ``num_samples``; per-draw seeds are ``base + t*DRAW_SEED_STRIDE``
-    with ABSOLUTE draw indices, so the segmentation is invisible to the
-    streams.  The default ``target_acceptance_rate`` keeps the library
-    convention (0.8); MALA's asymptotically optimal rate is 0.574 —
-    pass it explicitly for pure-MALA workloads.
+    ``segment_draws`` per dispatch); per-draw seeds are ``base +
+    t*DRAW_SEED_STRIDE`` with ABSOLUTE draw indices, so the segmentation
+    is invisible to the streams.
 
     Returns ``(final_positions, positions, stats, eps, imm)`` like
     :func:`sample_fused_adaptive` (stats columns ``[energy, accept, 0,
@@ -1161,6 +1163,11 @@ def sample_fused_mala(
     num_chains, dim = initial_positions.shape
     if block_chains is None:
         block_chains = 1024
+    alpha_f = float(alpha)
+    if not 0.0 <= alpha_f < 1.0:
+        raise ValueError(
+            f"alpha must be in [0, 1) (momentum persistence), got {alpha}"
+        )
     if per_chain_quantiles and not per_chain_step_size:
         raise ValueError(
             "per_chain_quantiles snaps the PER-CHAIN tuned step sizes — "
@@ -1256,7 +1263,15 @@ def sample_fused_mala(
 
     num_segments = -(-num_samples // segment_draws)
     total = num_segments * segment_draws
-    key_seed, key_scan = jax.random.split(sample_key)
+    if alpha_f:
+        # persistent momentum: seed it from the tuned metric's N(0, M)
+        # (at alpha=0 the refresh is full, so the init is irrelevant and
+        # the MALA key/stream layout is kept bit-for-bit unchanged)
+        key_seed, key_scan, key_p = jax.random.split(sample_key, 3)
+        p_init = _draw_momentum(key_p, im, num_chains, dim)
+    else:
+        key_seed, key_scan = jax.random.split(sample_key)
+        p_init = zero_p
     seeds = derive_draw_seeds(key_seed, total)
     seg_keys = jax.random.split(key_scan, num_segments)
 
@@ -1265,7 +1280,8 @@ def sample_fused_mala(
         seg_key, seg_seed = inputs
         if use_internal_prng:
             pos, stats, qn, un, gn, pn = segment(
-                qc, uc.reshape(-1), gc, pc, eps, 0.0, im, segment_draws,
+                qc, uc.reshape(-1), gc, pc, eps, alpha_f, im,
+                segment_draws,
                 seed=seg_seed, collect_positions=collect_positions,
             )
         else:
@@ -1277,7 +1293,8 @@ def sample_fused_mala(
                 kacc, (segment_draws, num_chains), jnp.float32
             )
             pos, stats, qn, un, gn, pn = segment(
-                qc, uc.reshape(-1), gc, pc, eps, 0.0, im, segment_draws,
+                qc, uc.reshape(-1), gc, pc, eps, alpha_f, im,
+                segment_draws,
                 noise=noise, u_accept=u_acc,
                 collect_positions=collect_positions,
             )
@@ -1287,7 +1304,7 @@ def sample_fused_mala(
 
     (qf, _, _, _), (positions, stats) = jax.lax.scan(
         one_segment,
-        (q, u, g, zero_p),
+        (q, u, g, p_init),
         (
             seg_keys,
             seeds[::segment_draws],
@@ -1299,3 +1316,39 @@ def sample_fused_mala(
     else:
         positions = None
     return qf, positions, stats, eps, imm
+
+
+def sample_fused_mala(
+    rng_key: jax.Array,
+    potential_fn_t: Callable,
+    data: Sequence[jax.Array],
+    initial_positions: jax.Array,
+    num_samples: int = 1000,
+    num_warmup: int = 400,
+    **kwargs,
+):
+    """Fused MALA: :func:`sample_fused_ghmc` at ``alpha = 0``.
+
+    One velocity-Verlet leapfrog step from a fully refreshed momentum is
+    EXACTLY the MALA proposal with preconditioner ``M^{-1}``: the
+    position marginal is ``q' = q - eps^2/2 M^{-1} grad U + eps
+    sqrt(M^{-1}) z``, and the one-step HMC energy ratio ``exp(H0 - H1)``
+    equals MALA's asymmetric Metropolis-Hastings ratio identically
+    (gated numerically against :mod:`aehmc_tpu.mala` in
+    tests/test_ghmc_fused.py).  Dense metrics are rejected, matching
+    :func:`aehmc_tpu.mala.new_kernel`.  The default
+    ``target_acceptance_rate`` keeps the library convention (0.8);
+    MALA's asymptotically optimal rate is 0.574 — pass it explicitly
+    for pure-MALA workloads.
+
+    Accepts every :func:`sample_fused_ghmc` keyword except ``alpha``.
+    """
+    if "alpha" in kwargs:
+        raise TypeError(
+            "sample_fused_mala IS alpha=0 — call sample_fused_ghmc for "
+            "persistent momentum"
+        )
+    return sample_fused_ghmc(
+        rng_key, potential_fn_t, data, initial_positions,
+        num_samples, num_warmup, alpha=0.0, **kwargs,
+    )

@@ -83,12 +83,41 @@ def test_unknown_algorithm_and_path():
 
 
 def test_fused_path_rejects_unfused_algorithms():
-    # hmc/mala/ghmc have no fused megakernel (meads gained one in
-    # round 4 via the fused GHMC transition)
+    # plain HMC is the one algorithm without a fused megakernel (its
+    # adaptive-trajectory fused analog is chees; ghmc/mala/meads all
+    # route through the fused GHMC transition)
     with pytest.raises(ValueError, match="fused"):
         aehmc_tpu.sample(
             jax.random.PRNGKey(0), logprob_fn, _chain_batch(),
-            algorithm="ghmc", path="fused",
+            algorithm="hmc", path="fused",
+        )
+
+
+def test_fused_ghmc_front_door():
+    """algorithm='ghmc' path='fused' routes through sample_fused_ghmc
+    (persistent momentum, interpret mode on CPU) and moves."""
+    q0 = _chain_batch()
+    out = aehmc_tpu.sample(
+        jax.random.PRNGKey(7), logprob_fn, q0,
+        num_samples=32, num_warmup=60,
+        algorithm="ghmc", path="fused",
+        ghmc_alpha=0.7,
+        block_chains=8,
+        use_internal_prng=False,
+        segment_draws=8,
+        interpret=True,
+    )
+    assert isinstance(out, SampleResult)
+    assert out.positions.shape == (32, 8, 4)
+    assert np.isfinite(np.asarray(out.positions)).all()
+    assert float(jnp.std(out.positions[:, :, 0])) > 0.0
+
+
+def test_fused_mala_rejects_ghmc_alpha():
+    with pytest.raises(TypeError, match="alpha"):
+        aehmc_tpu.sample(
+            jax.random.PRNGKey(0), logprob_fn, _chain_batch(),
+            algorithm="mala", path="fused", ghmc_alpha=0.5,
         )
 
 
